@@ -1,0 +1,182 @@
+"""SMPL body model forward pass — functional, jittable, TPU-first.
+
+Re-derivation of the standard SMPL formulation (shape blend shapes -> joint
+regression -> pose blend shapes -> kinematic chain -> linear blend skinning),
+numerically matching the reference `simple_romp/romp/smpl.py:111-188` (lbs)
+and `:16-35` (VertexJointSelector) so that outputs agree to float tolerance.
+
+TPU design notes:
+- Everything is expressed as large batched matmuls (MXU-friendly):
+  shape/pose blend shapes and joint regression are einsums over the 6890-vertex
+  axis; skinning transforms are one (V,J)x(B,J,16) matmul.
+- The 24-step kinematic chain is unrolled at trace time: 24 tiny (B,4,4)
+  matmuls; its cost is negligible next to the blend-shape matmuls, and
+  unrolling avoids a scan-carried gather.
+- No data-dependent shapes anywhere; `jax.vmap`/`jit`/`grad` all compose.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from romp_tpu.ops.rotations import axis_angle_to_matrix
+from romp_tpu.smpl.assets import SmplAssets
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SmplModel:
+    """Device-resident SMPL tensors + static kinematic metadata."""
+
+    v_template: jax.Array      # (V, 3)
+    shapedirs: jax.Array       # (V*3, NB)  [flattened for one big matmul]
+    posedirs: jax.Array        # (207, V*3)
+    J_regressor: jax.Array     # (J, V)
+    lbs_weights: jax.Array     # (V, J)
+    extra_joints_idxs: jax.Array   # (21,)
+    J_regressor_extra9: jax.Array  # (9, V)
+    J_regressor_h36m17: jax.Array  # (17, V)
+    faces: jax.Array           # (F, 3) int32
+    parents: Tuple[int, ...]   # static python tuple -> unrolled chain
+
+    def tree_flatten(self):
+        children = (
+            self.v_template, self.shapedirs, self.posedirs, self.J_regressor,
+            self.lbs_weights, self.extra_joints_idxs, self.J_regressor_extra9,
+            self.J_regressor_h36m17, self.faces,
+        )
+        return children, self.parents
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, parents=aux)
+
+    @property
+    def num_betas(self) -> int:
+        return self.shapedirs.shape[-1]
+
+    @property
+    def num_joints(self) -> int:
+        return self.J_regressor.shape[0]
+
+    @staticmethod
+    def from_assets(assets: SmplAssets, dtype=jnp.float32) -> "SmplModel":
+        V = assets.v_template.shape[0]
+        return SmplModel(
+            v_template=jnp.asarray(assets.v_template, dtype),
+            shapedirs=jnp.asarray(
+                assets.shapedirs.reshape(V * 3, -1), dtype),
+            posedirs=jnp.asarray(assets.posedirs, dtype),
+            J_regressor=jnp.asarray(assets.J_regressor, dtype),
+            lbs_weights=jnp.asarray(assets.lbs_weights, dtype),
+            extra_joints_idxs=jnp.asarray(assets.extra_joints_idxs, jnp.int32),
+            J_regressor_extra9=jnp.asarray(assets.J_regressor_extra9, dtype),
+            J_regressor_h36m17=jnp.asarray(assets.J_regressor_h36m17, dtype),
+            faces=jnp.asarray(assets.faces, jnp.int32),
+            parents=tuple(int(p) for p in np.asarray(assets.parents)),
+        )
+
+
+def _rigid_chain(rot_mats: jax.Array, joints: jax.Array,
+                 parents: Tuple[int, ...]) -> Tuple[jax.Array, jax.Array]:
+    """Compose per-joint local transforms along the kinematic tree.
+
+    rot_mats: (B, J, 3, 3); joints: (B, J, 3) rest-pose joint locations.
+    Returns posed joints (B, J, 3) and the relative (rest-pose-compensated)
+    transforms A (B, J, 4, 4), as in `simple_romp/romp/smpl.py:236-290`.
+    """
+    B, J = joints.shape[:2]
+    rel = joints.at[:, 1:].add(-joints[:, list(parents[1:])])
+    # Local 4x4 transforms: [R | t; 0 0 0 1]
+    T = jnp.zeros((B, J, 4, 4), rot_mats.dtype)
+    T = T.at[:, :, :3, :3].set(rot_mats)
+    T = T.at[:, :, :3, 3].set(rel)
+    T = T.at[:, :, 3, 3].set(1.0)
+
+    chain = [T[:, 0]]
+    for j in range(1, J):
+        chain.append(chain[parents[j]] @ T[:, j])
+    world = jnp.stack(chain, axis=1)  # (B, J, 4, 4)
+
+    posed_joints = world[:, :, :3, 3]
+    # A = world - [0 | world[:,:, :3,:3] @ joints]: removes the rest-pose
+    # joint offset so skinning transforms act on rest-pose vertices.
+    corr = jnp.einsum("bjmn,bjn->bjm", world[:, :, :3, :3], joints)
+    A = world.at[:, :, :3, 3].add(-corr)
+    return posed_joints, A
+
+
+def smpl_forward(model: SmplModel, betas: jax.Array, pose: jax.Array,
+                 root_align: bool = False,
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """SMPL forward: (B, NB) betas + (B, 72) axis-angle pose -> mesh.
+
+    Returns:
+      verts: (B, 6890, 3)
+      joints54: (B, 71, 3) — 24 SMPL + 21 vertex-picked + 9 extra + 17 H36M
+        (rows 0..53 are the canonical "joints54"; the reference returns all 71
+        rows too, under the name joints54 — `simple_romp/romp/smpl.py:29`).
+
+    root_align subtracts the mean of rows 45,46 (R_Hip/L_Hip of the extra-30
+    block) as in `simple_romp/romp/smpl.py:102-106`.
+    """
+    B = betas.shape[0]
+    V = model.v_template.shape[0]
+    J = model.num_joints
+
+    # 1. Shape blend shapes: one (B,NB)x(NB,V*3) matmul.
+    v_shaped = model.v_template + (
+        betas @ model.shapedirs.T).reshape(B, V, 3)
+
+    # 2. Rest-pose joints.
+    joints_rest = jnp.einsum("jv,bvk->bjk", model.J_regressor, v_shaped)
+
+    # 3. Pose blend shapes.
+    rot_mats = axis_angle_to_matrix(pose.reshape(B, J, 3))
+    ident = jnp.eye(3, dtype=rot_mats.dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, (J - 1) * 9)
+    v_posed = v_shaped + (pose_feature @ model.posedirs).reshape(B, V, 3)
+
+    # 4. Kinematic chain.
+    posed_joints, A = _rigid_chain(rot_mats, joints_rest, model.parents)
+
+    # 5. Skinning: per-vertex transform = weights @ per-joint transforms.
+    T = jnp.einsum(
+        "vj,bjk->bvk", model.lbs_weights, A.reshape(B, J, 16)
+    ).reshape(B, V, 4, 4)
+    verts = (
+        jnp.einsum("bvmn,bvn->bvm", T[:, :, :3, :3], v_posed)
+        + T[:, :, :3, 3]
+    )
+
+    # 6. Extended joint set.
+    extra21 = verts[:, model.extra_joints_idxs]
+    extra9 = jnp.einsum("jv,bvk->bjk", model.J_regressor_extra9, verts)
+    h36m17 = jnp.einsum("jv,bvk->bjk", model.J_regressor_h36m17, verts)
+    joints54 = jnp.concatenate([posed_joints, extra21, extra9, h36m17], axis=1)
+
+    if root_align:
+        root = joints54[:, 45:47].mean(axis=1, keepdims=True)
+        joints54 = joints54 - root
+        verts = verts - root
+    return verts, joints54
+
+
+def smpla_forward(adult: SmplModel, baby: SmplModel, betas: jax.Array,
+                  pose: jax.Array, root_align: bool = True,
+                  baby_thresh: float = 0.8) -> Tuple[jax.Array, jax.Array]:
+    """SMPL+A: blend adult (11-beta SMPL-A) and infant (SMIL) outputs.
+
+    The reference routes each person to one model by `betas[:,10] > 0.8`
+    (`simple_romp/bev/post_parser.py:255-278`). On TPU we evaluate both and
+    select with `jnp.where` — both branches are a few matmuls, and this keeps
+    the batch static-shape (no boolean partitioning).
+    """
+    v_a, j_a = smpl_forward(adult, betas, pose, root_align=root_align)
+    v_b, j_b = smpl_forward(baby, betas[:, :10], pose, root_align=root_align)
+    is_baby = (betas[:, 10] > baby_thresh)[:, None, None]
+    return jnp.where(is_baby, v_b, v_a), jnp.where(is_baby, j_b, j_a)

@@ -1,0 +1,40 @@
+"""Load reference (PyTorch) modules from /root/reference as numerical oracles.
+
+The reference implementation is used ONLY to generate expected values in
+tests — none of its code ships in romp_tpu. Modules are loaded by file path
+so we don't need the reference package installed.
+"""
+import importlib.util
+import sys
+
+REF = "/root/reference"
+
+
+def load_module(name: str, path: str):
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def ref_smpl():
+    """Reference SMPL module (`simple_romp/romp/smpl.py`) — standalone."""
+    return load_module("ref_smpl", f"{REF}/simple_romp/romp/smpl.py")
+
+
+def ref_model():
+    """Reference ROMP network (`simple_romp/romp/model.py`) — standalone."""
+    return load_module("ref_model", f"{REF}/simple_romp/romp/model.py")
+
+
+def ref_utils():
+    """Reference utils (`simple_romp/romp/utils.py`) — needs cv2."""
+    return load_module("ref_utils", f"{REF}/simple_romp/romp/utils.py")
+
+
+def ref_bev_model():
+    """Reference BEV network (`simple_romp/bev/model.py`)."""
+    return load_module("ref_bev_model", f"{REF}/simple_romp/bev/model.py")
