@@ -1,0 +1,187 @@
+"""Functional NN layer library over a flat parameter dict.
+
+Design: parameters live in ONE flat dict {name: array} whose keys are chosen
+to match the reference torch state_dict exactly (e.g.
+"backbone.layer1.0.conv1.weight"). This makes released-checkpoint conversion
+a pure dtype/layout transform (conv OIHW -> HWIO), keeps the whole model a
+pure function of a pytree (jit/grad/shard-friendly), and avoids any module
+framework between the math and XLA.
+
+A `ParamStore` runs in two modes:
+- init mode (no params given): each layer call creates its parameter with the
+  right shape/init and records it;
+- apply mode: layers read parameters; BatchNorm in train mode records
+  batch-statistics updates into `store.stats_updates` for the train step to
+  fold into the running stats (momentum update), keeping apply pure.
+
+Layout: NHWC activations, HWIO conv kernels (TPU-native). Mixed precision via
+`compute_dtype`: parameters stay f32; convs cast inputs/kernels to bf16 and
+accumulate in f32 (MXU-friendly), BatchNorm/statistics stay f32.
+
+Reference architecture blocks mirrored here: BasicBlock / Bottleneck / head
+convs of `simple_romp/romp/model.py:54-123,445-468`.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jax.Array]
+
+BN_MOMENTUM = 0.1  # torch convention: new = (1-m)*old + m*batch
+BN_EPS = 1e-5
+
+
+class ParamStore:
+    """Parameter/state access object threaded through layer functions."""
+
+    def __init__(self, params: Optional[Params] = None,
+                 rng: Optional[jax.Array] = None,
+                 train: bool = False,
+                 compute_dtype=jnp.float32):
+        self.init_mode = params is None
+        self.params: Params = {} if params is None else params
+        self.rng = rng
+        self.train = train
+        self.compute_dtype = compute_dtype
+        self.stats_updates: Params = {}
+
+    def _next_rng(self) -> jax.Array:
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def get(self, name: str, shape, init_fn) -> jax.Array:
+        if self.init_mode:
+            if name not in self.params:
+                self.params[name] = init_fn(self._next_rng(), shape)
+            return self.params[name]
+        p = self.params[name]
+        assert p.shape == tuple(shape), (
+            f"{name}: stored {p.shape} != expected {tuple(shape)}")
+        return p
+
+
+def _he_normal(rng, shape):
+    fan_in = int(np.prod(shape[:-1]))
+    return (jax.random.normal(rng, shape, jnp.float32)
+            * np.sqrt(2.0 / max(fan_in, 1)))
+
+
+def _zeros(_, shape):
+    return jnp.zeros(shape, jnp.float32)
+
+
+def _ones(_, shape):
+    return jnp.ones(shape, jnp.float32)
+
+
+def conv2d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
+           kernel: int = 3, stride: int = 1, padding: Optional[int] = None,
+           bias: bool = False) -> jax.Array:
+    """2D convolution, torch-compatible explicit symmetric padding.
+
+    `prefix` is the torch module path; weights live at f"{prefix}.weight"
+    (stored HWIO) and optionally f"{prefix}.bias".
+    """
+    if padding is None:
+        padding = (kernel - 1) // 2
+    in_ch = x.shape[-1]
+    w = store.get(f"{prefix}.weight", (kernel, kernel, in_ch, out_ch),
+                  _he_normal)
+    dt = store.compute_dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), w.astype(dt),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias:
+        b = store.get(f"{prefix}.bias", (out_ch,), _zeros)
+        y = y + b
+    return y
+
+
+def batch_norm(store: ParamStore, prefix: str, x: jax.Array) -> jax.Array:
+    """BatchNorm2d. Inference uses running stats; train mode computes batch
+    stats (biased variance for normalization, as torch does) and records the
+    momentum-updated running stats in `store.stats_updates`.
+    """
+    ch = x.shape[-1]
+    scale = store.get(f"{prefix}.weight", (ch,), _ones)
+    offset = store.get(f"{prefix}.bias", (ch,), _zeros)
+    mean = store.get(f"{prefix}.running_mean", (ch,), _zeros)
+    var = store.get(f"{prefix}.running_var", (ch,), _ones)
+
+    if store.train and not store.init_mode:
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        bmean = jnp.mean(x32, axis=axes)
+        bvar = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(bmean)
+        n = np.prod([x.shape[a] for a in axes])
+        unbiased = bvar * (n / max(n - 1, 1))
+        store.stats_updates[f"{prefix}.running_mean"] = (
+            (1 - BN_MOMENTUM) * mean + BN_MOMENTUM * bmean)
+        store.stats_updates[f"{prefix}.running_var"] = (
+            (1 - BN_MOMENTUM) * var + BN_MOMENTUM * unbiased)
+        use_mean, use_var = bmean, bvar
+    else:
+        use_mean, use_var = mean, var
+
+    inv = jax.lax.rsqrt(use_var + BN_EPS) * scale
+    return (x.astype(jnp.float32) - use_mean) * inv + offset
+
+
+def bn_relu(store: ParamStore, prefix: str, x: jax.Array) -> jax.Array:
+    return jax.nn.relu(batch_norm(store, prefix, x))
+
+
+def basic_block(store: ParamStore, prefix: str, x: jax.Array, planes: int,
+                stride: int = 1, downsample: bool = False) -> jax.Array:
+    """ResNet BasicBlock (`simple_romp/romp/model.py:54-83`)."""
+    residual = x
+    out = conv2d(store, f"{prefix}.conv1", x, planes, 3, stride)
+    out = bn_relu(store, f"{prefix}.bn1", out)
+    out = conv2d(store, f"{prefix}.conv2", out, planes, 3, 1)
+    out = batch_norm(store, f"{prefix}.bn2", out)
+    if downsample:
+        residual = conv2d(store, f"{prefix}.downsample.0", x, planes, 1,
+                          stride, padding=0)
+        residual = batch_norm(store, f"{prefix}.downsample.1", residual)
+    return jax.nn.relu(out + residual)
+
+
+def bottleneck(store: ParamStore, prefix: str, x: jax.Array, planes: int,
+               stride: int = 1, downsample: bool = False) -> jax.Array:
+    """ResNet Bottleneck, expansion 4 (`simple_romp/romp/model.py:85-123`)."""
+    residual = x
+    out = conv2d(store, f"{prefix}.conv1", x, planes, 1, 1, padding=0)
+    out = bn_relu(store, f"{prefix}.bn1", out)
+    out = conv2d(store, f"{prefix}.conv2", out, planes, 3, stride)
+    out = bn_relu(store, f"{prefix}.bn2", out)
+    out = conv2d(store, f"{prefix}.conv3", out, planes * 4, 1, 1, padding=0)
+    out = batch_norm(store, f"{prefix}.bn3", out)
+    if downsample:
+        residual = conv2d(store, f"{prefix}.downsample.0", x, planes * 4, 1,
+                          stride, padding=0)
+        residual = batch_norm(store, f"{prefix}.downsample.1", residual)
+    return jax.nn.relu(out + residual)
+
+
+def upsample_nearest(x: jax.Array, factor: int) -> jax.Array:
+    """Nearest-neighbor upsample by an integer factor (NHWC)."""
+    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
+
+
+def max_pool_same(x: jax.Array, window: int) -> jax.Array:
+    """Max pool, stride 1, torch-style symmetric padding (for heatmap NMS)."""
+    pad = (window - 1) // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
