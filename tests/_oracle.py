@@ -38,3 +38,28 @@ def ref_utils():
 def ref_bev_model():
     """Reference BEV network (`simple_romp/bev/model.py`)."""
     return load_module("ref_bev_model", f"{REF}/simple_romp/bev/model.py")
+
+
+def ref_package(alias: str, subdir: str):
+    """Expose a reference directory as an importable package WITHOUT running
+    its __init__.py (which pulls optional deps like norfair/lap).
+
+    e.g. ref_package("refromp", "simple_romp/romp") then
+    importlib.import_module("refromp.post_parser").
+    """
+    import importlib
+    import types
+
+    if alias not in sys.modules:
+        pkg = types.ModuleType(alias)
+        pkg.__path__ = [f"{REF}/{subdir}"]
+        sys.modules[alias] = pkg
+    return lambda name: importlib.import_module(f"{alias}.{name}")
+
+
+def ref_romp_post_parser():
+    return ref_package("refromp", "simple_romp/romp")("post_parser")
+
+
+def ref_bev_post_parser():
+    return ref_package("refbev", "simple_romp/bev")("post_parser")
