@@ -1,0 +1,68 @@
+"""Benchmark: ROMP HRNet-32 @ 512x512 end-to-end inference throughput/chip.
+
+Measures the full jitted pipeline (normalize -> HRNet-W32 -> heads -> center
+NMS/top-K parse -> param gather -> 6D->aa -> SMPL LBS -> projections +
+least-squares camera translation) in bf16 compute on one chip, steady state.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: 500 img/s/chip target (BASELINE.md; the torch reference runs ~24
+FPS end-to-end on a GTX 1070Ti, `docs/romp_evaluation.md:96-102`).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from romp_tpu.models.romp import init_romp_params
+    from romp_tpu.pipeline.romp_pipeline import RompConfig, romp_inference
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    warmup = 5
+
+    params = init_romp_params(jax.random.PRNGKey(0))
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    cfg = RompConfig(max_person=8, compute_dtype="bfloat16", calc_smpl=True)
+
+    fn = jax.jit(lambda p, im: romp_inference(p, smpl, im, cfg))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(batch, 512, 512, 3).astype(np.float32) * 255.0)
+
+    out = fn(params, images)
+    jax.block_until_ready(out)
+    for _ in range(warmup - 1):
+        jax.block_until_ready(fn(params, images))
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, images))
+        times.append(time.perf_counter() - t0)
+
+    times = np.asarray(times)
+    imgs_per_sec = batch / float(np.median(times))
+    p50_ms = float(np.median(times)) * 1000.0
+
+    print(json.dumps({
+        "metric": "images/sec/chip (ROMP HRNet-32 512^2, bf16, e2e incl. SMPL)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / 500.0, 3),
+        "p50_batch_ms": round(p50_ms, 2),
+        "batch": batch,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""ROMP training step — SPMD data-parallel, matching-mode supervision.
+
+Reference flow (`romp/train.py:37-54` + `romp/lib/maps_utils/result_parser.py:33`
+matching_forward): forward the net, sample parameter maps AT GROUND-TRUTH
+center locations, run SMPL, compute the composite loss
+(`romp/lib/loss_funcs/calc_loss.py:25`), backprop under AMP, DDP-allreduce.
+
+Here the whole step is one jitted SPMD function over a `Mesh`: the batch is
+sharded on the "data" axis, parameters replicated; XLA inserts gradient psums
+(replacing NCCL allreduce) and global BatchNorm statistics emerge from the
+sharded batch reductions (replacing SyncBatchNorm).
+
+Fixed shapes: each image carries up to P ground-truth persons with a validity
+mask — the matching step is a gather, not a dynamic match (the reference's
+center matching reduces to sampling at GT centers for supervision; its
+argmin-matching refinement can be layered on later without changing shapes).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from romp_tpu.models.layers import ParamStore
+from romp_tpu.models.romp import romp_forward
+from romp_tpu.ops.centermap import sample_maps_at
+from romp_tpu.ops.projection import weak_perspective_projection
+from romp_tpu.pipeline.romp_pipeline import unpack_params
+from romp_tpu.smpl.body_model import SmplModel, smpl_forward
+from romp_tpu.train import losses
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Loss weights follow `romp/lib/config.py` defaults / configs/v1.yml."""
+
+    lr: float = 3e-4
+    weight_decay: float = 1e-6
+    grad_clip: float = 3.0
+    centermap_weight: float = 1.0
+    kp2d_weight: float = 400.0
+    mpjpe_weight: float = 200.0
+    pampjpe_weight: float = 360.0
+    pose_weight: float = 80.0
+    shape_weight: float = 6.0
+    compute_dtype: str = "float32"
+    cam_scale_base: float = 1.1
+
+
+class TrainState(NamedTuple):
+    trainable: Dict[str, jax.Array]
+    bn_state: Dict[str, jax.Array]
+    opt_state: Any
+    step: jax.Array
+
+
+def is_bn_stat(name: str) -> bool:
+    return name.endswith("running_mean") or name.endswith("running_var")
+
+
+def split_params(params: Dict[str, jax.Array]):
+    trainable = {k: v for k, v in params.items() if not is_bn_stat(k)}
+    bn_state = {k: v for k, v in params.items() if is_bn_stat(k)}
+    return trainable, bn_state
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+    )
+
+
+def init_train_state(params: Dict[str, jax.Array],
+                     cfg: TrainConfig) -> TrainState:
+    trainable, bn_state = split_params(params)
+    opt_state = make_optimizer(cfg).init(trainable)
+    return TrainState(trainable, bn_state, opt_state, jnp.zeros((), jnp.int32))
+
+
+def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
+                   cfg: TrainConfig):
+    """Forward + composite loss. Returns (total, (bn_updates, metrics)).
+
+    batch keys (all fixed-shape):
+      image          (B, S, S, 3) float RGB [0,255]
+      centermap_gt   (B, 64, 64)
+      person_inds    (B, P) int32 flat GT-center indices into 64x64
+      person_mask    (B, P) bool
+      kp2d_gt        (B, P, 54, 2) in [-1,1], invalid joints = -2
+      kp3d_gt        (B, P, 54, 3), invalid joints = -2
+      kp3d_mask      (B, P) bool — person has 3D supervision
+      pose_gt        (B, P, 66) axis-angle (global + 21 body joints)
+      pose_mask      (B, P) bool
+      betas_gt       (B, P, 10)
+      betas_mask     (B, P) bool
+    """
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    store = ParamStore({**trainable, **bn_state}, train=True,
+                       compute_dtype=dt)
+    center_maps, params_maps = romp_forward(store, batch["image"])
+
+    B, P = batch["person_mask"].shape
+    params_pred = sample_maps_at(params_maps, batch["person_inds"])
+    out = unpack_params(params_pred, cfg.cam_scale_base)
+
+    flat = lambda a: a.reshape(B * P, *a.shape[2:])
+    w = flat(batch["person_mask"]).astype(jnp.float32)
+    verts, joints = smpl_forward(smpl, flat(out["smpl_betas"]),
+                                 flat(out["smpl_thetas"]))
+    pj2d = weak_perspective_projection(joints, flat(out["cam"]))
+
+    kp3d_w = w * flat(batch["kp3d_mask"]).astype(jnp.float32)
+    pose_w = w * flat(batch["pose_mask"]).astype(jnp.float32)
+    j54 = joints[:, :54]
+
+    loss_dict = {
+        "centermap": cfg.centermap_weight * losses.focal_heatmap_loss(
+            center_maps[..., 0], batch["centermap_gt"]),
+        "kp2d": cfg.kp2d_weight * losses.kp2d_l2_loss(
+            flat(batch["kp2d_gt"]), pj2d[:, :54], w),
+        "mpjpe": cfg.mpjpe_weight * losses.mpjpe_loss(
+            flat(batch["kp3d_gt"]), j54, kp3d_w),
+        "pampjpe": cfg.pampjpe_weight * losses.pampjpe_loss(
+            flat(batch["kp3d_gt"])[:, :24], joints[:, :24], kp3d_w),
+        "pose": cfg.pose_weight * losses.pose_l2_loss(
+            flat(batch["pose_gt"]), flat(out["smpl_thetas"])[:, :66], pose_w),
+        "shape": cfg.shape_weight * losses.shape_loss(
+            flat(batch["betas_gt"]), out["smpl_betas"].reshape(B * P, -1),
+            w, flat(batch["betas_mask"]).astype(jnp.float32)),
+    }
+    total = sum(loss_dict.values())
+    metrics = {**loss_dict, "total": total}
+    return total, (store.stats_updates, metrics)
+
+
+def train_step(state: TrainState, batch, smpl: SmplModel, cfg: TrainConfig,
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One SGD step. jit this with cfg static; under a Mesh with the batch
+    sharded on "data", gradients/BN stats are globally correct SPMD."""
+    grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
+    (_, (bn_updates, metrics)), grads = grad_fn(
+        state.trainable, state.bn_state, batch, smpl, cfg)
+    updates, opt_state = make_optimizer(cfg).update(
+        grads, state.opt_state, state.trainable)
+    trainable = optax.apply_updates(state.trainable, updates)
+    bn_state = {**state.bn_state, **bn_updates}
+    return TrainState(trainable, bn_state, opt_state,
+                      state.step + 1), metrics
+
+
+def make_synthetic_batch(rng: jax.Array, batch_size: int, num_person: int = 4,
+                         input_size: int = 512):
+    """Random well-formed training batch (for tests, dryruns, benchmarks)."""
+    ks = jax.random.split(rng, 8)
+    B, P = batch_size, num_person
+    map_size = input_size // 8
+    inds = jax.random.randint(ks[1], (B, P), 0, map_size * map_size)
+    cx = ((inds % map_size).astype(jnp.float32) / map_size) * 2.0 - 1.0
+    cy = ((inds // map_size).astype(jnp.float32) / map_size) * 2.0 - 1.0
+    from romp_tpu.train.centermap_gt import generate_centermap, person_radius
+    mask = jnp.ones((B, P), bool)
+    radii = person_radius(jnp.full((B, P, 2), 0.5), map_size)
+    centermap = generate_centermap(
+        jnp.stack([cx, cy], -1), radii, mask, map_size)
+    return {
+        "image": jax.random.uniform(ks[0], (B, input_size, input_size, 3),
+                                    jnp.float32, 0.0, 255.0),
+        "centermap_gt": centermap,
+        "person_inds": inds.astype(jnp.int32),
+        "person_mask": mask,
+        "kp2d_gt": jax.random.uniform(ks[2], (B, P, 54, 2), jnp.float32,
+                                      -1.0, 1.0),
+        "kp3d_gt": jax.random.normal(ks[3], (B, P, 54, 3)) * 0.3,
+        "kp3d_mask": jnp.ones((B, P), bool),
+        "pose_gt": jax.random.normal(ks[4], (B, P, 66)) * 0.3,
+        "pose_mask": jnp.ones((B, P), bool),
+        "betas_gt": jax.random.normal(ks[5], (B, P, 10)) * 0.5,
+        "betas_mask": jnp.ones((B, P), bool),
+    }
