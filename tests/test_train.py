@@ -1,0 +1,125 @@
+"""Tests for losses, GT centermap generation, and the SPMD train step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from romp_tpu.train import losses
+from romp_tpu.train.centermap_gt import generate_centermap, person_radius
+from romp_tpu.train.train_step import (
+    TrainConfig, init_train_state, make_synthetic_batch, train_step,
+)
+from romp_tpu.models.romp import init_romp_params
+from romp_tpu.smpl.assets import synthetic_assets
+from romp_tpu.smpl.body_model import SmplModel
+
+
+def _np_reference_centermap(centers_xy, radii, size):
+    """Oracle: the reference's per-person numpy splat loop
+    (`romp/lib/maps_utils/centermap.py:120-140,392-397`)."""
+    heat = np.zeros((size, size), np.float32)
+    for (cxn, cyn), r in zip(centers_xy, radii):
+        x = int((cxn + 1) / 2 * size)
+        y = int((cyn + 1) / 2 * size)
+        if x < 0 or y < 0 or x >= size or y >= size:
+            continue
+        d = 2 * r + 1
+        sigma = d / 6.0
+        yy, xx = np.ogrid[-r:r + 1, -r:r + 1]
+        g = np.exp(-(xx * xx + yy * yy) / (2 * sigma * sigma))
+        left, right = min(x, r), min(size - x, r + 1)
+        top, bottom = min(y, r), min(size - y, r + 1)
+        sub = heat[y - top:y + bottom, x - left:x + right]
+        np.maximum(sub, g[r - top:r + bottom, r - left:r + right], out=sub)
+        heat[y, x] = 1.0
+    return heat
+
+
+def test_centermap_gt_matches_reference_splat():
+    rng = np.random.RandomState(0)
+    size, K = 64, 6
+    centers = rng.uniform(-0.95, 0.95, (1, K, 2)).astype(np.float32)
+    bboxes = rng.uniform(0.1, 1.5, (1, K, 2)).astype(np.float32)
+    radii = np.asarray(person_radius(jnp.asarray(bboxes), size))
+    # uint8-cast parity with `_calc_radius_`
+    ref_radii = (np.linalg.norm(bboxes[0] / 2, axis=1) * (size / 16.)
+                 + size / 32.).astype(np.uint8)
+    np.testing.assert_array_equal(radii[0], ref_radii)
+
+    ours = np.asarray(generate_centermap(
+        jnp.asarray(centers), jnp.asarray(radii),
+        jnp.ones((1, K), bool), size))[0]
+    ref = _np_reference_centermap(centers[0], radii[0], size)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_centermap_gt_masks_invalid_persons():
+    centers = jnp.array([[[0.0, 0.0], [0.5, 0.5]]])
+    radii = jnp.array([[3, 3]], jnp.int32)
+    mask = jnp.array([[True, False]])
+    heat = np.asarray(generate_centermap(centers, radii, mask, 64))[0]
+    assert heat[32, 32] == 1.0
+    assert heat[48, 48] == 0.0
+
+
+def test_focal_loss_behaviour():
+    gt = jnp.zeros((2, 64, 64)).at[:, 10, 10].set(1.0)
+    good = jnp.clip(gt, 0.01, 0.99)
+    bad = jnp.clip(1.0 - gt, 0.01, 0.99)
+    l_good = float(losses.focal_heatmap_loss(good, gt))
+    l_bad = float(losses.focal_heatmap_loss(bad, gt))
+    assert l_good < l_bad
+    assert np.isfinite(l_good) and l_good >= 0
+
+
+def test_pampjpe_invariant_to_similarity_transform():
+    rng = np.random.RandomState(1)
+    gt = rng.randn(4, 24, 3).astype(np.float32)
+    from romp_tpu.ops.rotations import axis_angle_to_matrix
+    R = np.asarray(axis_angle_to_matrix(jnp.asarray(
+        rng.randn(4, 3).astype(np.float32))))
+    pred = 1.7 * np.einsum("nij,nkj->nki", R, gt) + rng.randn(4, 1, 3)
+    err = float(losses.pampjpe_loss(
+        jnp.asarray(gt), jnp.asarray(pred.astype(np.float32)),
+        jnp.ones(4)))
+    assert err < 1e-4, err
+
+
+def test_mpjpe_alignment_and_masking():
+    rng = np.random.RandomState(2)
+    gt = rng.randn(3, 54, 3).astype(np.float32)
+    pred = gt + np.array([5.0, -3.0, 2.0], np.float32)  # pure translation...
+    # ...of everything including hips: hip-aligned MPJPE must be ~0.
+    err = float(losses.mpjpe_loss(jnp.asarray(gt), jnp.asarray(pred),
+                                  jnp.ones(3)))
+    assert err < 1e-5
+    # Weighted out persons contribute nothing.
+    pred2 = gt + rng.randn(3, 54, 3).astype(np.float32)
+    w = jnp.array([1.0, 0.0, 0.0])
+    e_masked = float(losses.mpjpe_loss(jnp.asarray(gt), jnp.asarray(pred2), w))
+    e_first = float(losses.mpjpe_loss(jnp.asarray(gt[:1]),
+                                      jnp.asarray(pred2[:1]), jnp.ones(1)))
+    np.testing.assert_allclose(e_masked, e_first, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_step_runs_and_descends():
+    cfg = TrainConfig()
+    params = init_romp_params(jax.random.PRNGKey(0), input_size=64)
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    state = init_train_state(params, cfg)
+    batch = make_synthetic_batch(jax.random.PRNGKey(1), batch_size=2,
+                                 num_person=2, input_size=64)
+    step = jax.jit(lambda s, b: train_step(s, b, smpl, cfg))
+    state1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["total"]))
+    # BN stats must have been updated.
+    k = next(k for k in state.bn_state if k.endswith("running_mean"))
+    assert not np.allclose(np.asarray(state.bn_state[k]),
+                           np.asarray(state1.bn_state[k]))
+    # A few steps on the same batch should reduce the loss.
+    s = state1
+    for _ in range(3):
+        s, m = step(s, batch)
+    assert float(m["total"]) < float(m1["total"])
