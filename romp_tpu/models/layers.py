@@ -171,6 +171,96 @@ def bottleneck(store: ParamStore, prefix: str, x: jax.Array, planes: int,
     return jax.nn.relu(out + residual)
 
 
+def conv1d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
+           kernel: int = 3, stride: int = 1, padding: Optional[int] = None,
+           bias: bool = False) -> jax.Array:
+    """1D convolution over (B, W, C); kernel stored LIO."""
+    if padding is None:
+        padding = (kernel - 1) // 2
+    in_ch = x.shape[-1]
+    w = store.get(f"{prefix}.weight", (kernel, in_ch, out_ch), _he_normal)
+    dt = store.compute_dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), w.astype(dt), window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias:
+        y = y + store.get(f"{prefix}.bias", (out_ch,), _zeros)
+    return y
+
+
+def conv3d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
+           kernel: int = 3, stride: int = 1, padding: Optional[int] = None,
+           bias: bool = False) -> jax.Array:
+    """3D convolution over (B, D, H, W, C); kernel stored DHWIO."""
+    if padding is None:
+        padding = (kernel - 1) // 2
+    in_ch = x.shape[-1]
+    w = store.get(f"{prefix}.weight",
+                  (kernel, kernel, kernel, in_ch, out_ch), _he_normal)
+    dt = store.compute_dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), w.astype(dt), window_strides=(stride,) * 3,
+        padding=[(padding, padding)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias:
+        y = y + store.get(f"{prefix}.bias", (out_ch,), _zeros)
+    return y
+
+
+def basic_block_conv_ds(store: ParamStore, prefix: str, x: jax.Array,
+                        planes: int) -> jax.Array:
+    """BasicBlock whose downsample is a bare 1x1 conv WITH bias (no BN) —
+    the BEV head variant (`simple_romp/bev/model.py:149-162` passes
+    downsample=nn.Conv2d directly)."""
+    out = conv2d(store, f"{prefix}.conv1", x, planes, 3, 1)
+    out = bn_relu(store, f"{prefix}.bn1", out)
+    out = conv2d(store, f"{prefix}.conv2", out, planes, 3, 1)
+    out = batch_norm(store, f"{prefix}.bn2", out)
+    residual = conv2d(store, f"{prefix}.downsample", x, planes, 1, 1,
+                      padding=0, bias=True)
+    return jax.nn.relu(out + residual)
+
+
+def basic_block_1d(store: ParamStore, prefix: str, x: jax.Array,
+                   planes: int) -> jax.Array:
+    """BEV BasicBlock_1D: conv-bn-relu-conv-bn-relu, NO residual
+    (`simple_romp/bev/model.py:24-45`)."""
+    out = conv1d(store, f"{prefix}.conv1", x, planes, 3, 1)
+    out = bn_relu(store, f"{prefix}.bn1", out)
+    out = conv1d(store, f"{prefix}.conv2", out, planes, 3, 1)
+    return jax.nn.relu(batch_norm(store, f"{prefix}.bn2", out))
+
+
+def basic_block_3d(store: ParamStore, prefix: str, x: jax.Array,
+                   planes: int) -> jax.Array:
+    """BEV BasicBlock_3D: conv-bn-relu-conv-bn + residual, NO final relu
+    (`simple_romp/bev/model.py:52-75`)."""
+    out = conv3d(store, f"{prefix}.conv1", x, planes, 3, 1)
+    out = bn_relu(store, f"{prefix}.bn1", out)
+    out = conv3d(store, f"{prefix}.conv2", out, planes, 3, 1)
+    return batch_norm(store, f"{prefix}.bn2", out) + x
+
+
+def linear(store: ParamStore, prefix: str, x: jax.Array,
+           out_ch: int) -> jax.Array:
+    """Dense layer; torch Linear weight (O, I) kept as stored (matmul x W^T)."""
+    in_ch = x.shape[-1]
+    w = store.get(f"{prefix}.weight", (out_ch, in_ch), _he_normal)
+    b = store.get(f"{prefix}.bias", (out_ch,), _zeros)
+    return x @ w.T + b
+
+
+def embedding_lookup(store: ParamStore, prefix: str, ids: jax.Array,
+                     num: int, dim: int) -> jax.Array:
+    w = store.get(f"{prefix}.weight", (num, dim), _he_normal)
+    return w[ids]
+
+
 def upsample_nearest(x: jax.Array, factor: int) -> jax.Array:
     """Nearest-neighbor upsample by an integer factor (NHWC)."""
     return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)

@@ -73,7 +73,8 @@ def nms_heatmap3d(center_map: jax.Array, window: int = 3) -> jax.Array:
 
 
 def parse_centermap3d(center_map: jax.Array, max_person: int,
-                      conf_thresh: float) -> CenterDetections3D:
+                      conf_thresh: float,
+                      nms_window: int = 5) -> CenterDetections3D:
     """3D center parse for BEV. center_map: (B, D, H, W).
 
     Returns (z, y, x) peaks; flat_inds index the (H*W) front-view plane so
@@ -81,7 +82,7 @@ def parse_centermap3d(center_map: jax.Array, max_person: int,
     (`simple_romp/bev/post_parser.py:44-66`).
     """
     B, D, H, W = center_map.shape
-    nmsed = nms_heatmap3d(center_map).reshape(B, D * H * W)
+    nmsed = nms_heatmap3d(center_map, nms_window).reshape(B, D * H * W)
     scores, inds = jax.lax.top_k(nmsed, max_person)
     zs = inds // (H * W)
     rem = inds % (H * W)

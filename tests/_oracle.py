@@ -36,8 +36,20 @@ def ref_utils():
 
 
 def ref_bev_model():
-    """Reference BEV network (`simple_romp/bev/model.py`)."""
-    return load_module("ref_bev_model", f"{REF}/simple_romp/bev/model.py")
+    """Reference BEV network (`simple_romp/bev/model.py`).
+
+    bev/model.py absolutely imports `romp.model` and relatively imports
+    `.post_parser`; register path-only packages (no __init__ side effects,
+    which would pull norfair/lap) before loading.
+    """
+    import importlib
+    import types
+
+    if "romp" not in sys.modules:
+        pkg = types.ModuleType("romp")
+        pkg.__path__ = [f"{REF}/simple_romp/romp"]
+        sys.modules["romp"] = pkg
+    return ref_package("refbevpkg", "simple_romp/bev")("model")
 
 
 def ref_package(alias: str, subdir: str):
@@ -62,4 +74,10 @@ def ref_romp_post_parser():
 
 
 def ref_bev_post_parser():
+    import types
+
+    if "romp" not in sys.modules:
+        pkg = types.ModuleType("romp")
+        pkg.__path__ = [f"{REF}/simple_romp/romp"]
+        sys.modules["romp"] = pkg
     return ref_package("refbev", "simple_romp/bev")("post_parser")
