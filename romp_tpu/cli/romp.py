@@ -1,0 +1,114 @@
+"""`romp` CLI — image / video / webcam inference, reference-compatible.
+
+Parity target: `simple_romp/romp/main.py` (ROMP class + main()). The device
+path is the jitted romp_tpu pipeline; tracking/smoothing/rendering/saving run
+on host.
+"""
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+from romp_tpu.cli.common import (
+    DEFAULT_HOME, add_common_flags, load_checkpoint_flexible,
+    load_smpl_assets_flexible,
+)
+
+
+def romp_settings(input_args=None):
+    parser = argparse.ArgumentParser(
+        description="romp_tpu: one-stage multi-person 3D mesh recovery (TPU)")
+    add_common_flags(parser, "romp")
+    parser.add_argument("--center_thresh", type=float, default=0.25)
+    parser.add_argument("--show_items", type=str, default="mesh")
+    parser.add_argument("--smpl_path", type=str,
+                        default=osp.join(DEFAULT_HOME, "SMPL_NEUTRAL.pth"))
+    parser.add_argument("--model_path", type=str,
+                        default=osp.join(DEFAULT_HOME, "ROMP.pkl"))
+    parser.add_argument("--root_align", type=bool, default=False)
+    args = parser.parse_args(input_args)
+    if args.show:
+        args.render_mesh = True
+    if args.render_mesh or args.show_largest:
+        args.calc_smpl = True
+    return args
+
+
+class ROMP:
+    """Python API: `ROMP(settings)(bgr_image) -> results dict` — matching the
+    reference's documented usage (`simple_romp/README.md:140-157`)."""
+
+    def __init__(self, settings):
+        self.settings = settings
+        from romp_tpu.models.romp import init_romp_params
+        from romp_tpu.pipeline.romp_pipeline import RompConfig, RompPipeline
+        from romp_tpu.pipeline.video import TemporalOptimizer
+        from romp_tpu.smpl.body_model import SmplModel
+
+        params = load_checkpoint_flexible(settings.model_path,
+                                          init_romp_params)
+        assets = load_smpl_assets_flexible(settings.smpl_path, num_betas=10)
+        self.smpl_faces = assets.faces
+        cfg = RompConfig(
+            max_person=settings.max_person,
+            conf_thresh=settings.center_thresh,
+            root_align=settings.root_align,
+            compute_dtype=settings.compute_dtype,
+            calc_smpl=settings.calc_smpl,
+        )
+        self.pipeline = RompPipeline(params, SmplModel.from_assets(assets),
+                                     cfg)
+        self.temporal = (TemporalOptimizer(smooth_coeff=settings.smooth_coeff)
+                         if settings.temporal_optimize else None)
+        self.renderer = None
+        if settings.render_mesh:
+            from romp_tpu.vis.renderer import setup_renderer
+
+            self.renderer = setup_renderer(settings.renderer)
+
+    def __call__(self, bgr_image: np.ndarray) -> Optional[Dict]:
+        from romp_tpu.pipeline.video import filter_valid
+        from romp_tpu.utils.io import img_preprocess
+
+        image, pad_info = img_preprocess(bgr_image)
+        out = self.pipeline(image)
+        res = filter_valid({k: np.asarray(v) for k, v in out.items()})
+        if res.get("cam", np.zeros((0,))).shape[0] == 0:
+            print("No person detected!")
+            return None
+        if self.temporal is not None:
+            res = self.temporal(res)
+            if res is None:
+                return None
+        # map projections back to the original image frame
+        from romp_tpu.ops.projection import convert_to_org_image_coords
+        import jax.numpy as jnp
+
+        if "pj2d" in res:
+            res["pj2d_org"] = np.asarray(convert_to_org_image_coords(
+                jnp.asarray(res["pj2d"]), jnp.asarray(pad_info)))
+        if "verts_camed" in res:
+            res["verts_camed_org"] = np.asarray(convert_to_org_image_coords(
+                jnp.asarray(res["verts_camed"]), jnp.asarray(pad_info)))
+        if self.renderer is not None and "verts_camed_org" in res:
+            from romp_tpu.vis.compositor import render_results
+
+            res["rendered_image"] = render_results(
+                self.renderer, res, bgr_image, self.smpl_faces,
+                items=self.settings.show_items.split(","))
+        return res
+
+
+def main(input_args=None):
+    settings = romp_settings(input_args)
+    from romp_tpu.cli.runner import run_tool
+
+    return run_tool(ROMP(settings), settings)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

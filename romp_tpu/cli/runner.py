@@ -1,0 +1,71 @@
+"""Mode loops (image / video / webcam) shared by romp/bev CLIs.
+
+Parity: `simple_romp/romp/main.py:178-204` main() dispatch.
+"""
+from __future__ import annotations
+
+import os.path as osp
+import sys
+import tempfile
+
+import numpy as np
+
+
+def run_tool(model, settings) -> int:
+    try:
+        import cv2
+    except ImportError:
+        print("cv2 required for CLI IO", file=sys.stderr)
+        return 1
+    from romp_tpu.utils.io import (
+        ResultSaver, collect_image_paths, extract_video_frames,
+        save_video_results, WebcamVideoStream,
+    )
+
+    if settings.mode == "image":
+        assert settings.input, "--input required"
+        saver = ResultSaver(mode="image", save_path=settings.save_path)
+        for path in collect_image_paths(settings.input):
+            image = cv2.imread(path)
+            outputs = model(image)
+            saver(outputs, path)
+        return 0
+
+    if settings.mode == "video":
+        assert settings.input, "--input required"
+        frame_dir = settings.input
+        if osp.isfile(settings.input):
+            frame_dir = tempfile.mkdtemp(prefix="romp_tpu_frames_")
+            frame_paths = extract_video_frames(settings.input, frame_dir)
+        else:
+            frame_paths = collect_image_paths(frame_dir)
+        saver = ResultSaver(mode="video", save_path=settings.save_path)
+        for path in frame_paths:
+            outputs = model(cv2.imread(path))
+            saver(outputs, path)
+        if settings.save_video:
+            saver.save_video(osp.join(settings.save_path, "result.mp4"),
+                             frame_rate=settings.frame_rate)
+        if saver.frame_save_paths:
+            save_video_results(saver.frame_save_paths)
+        return 0
+
+    if settings.mode == "webcam":
+        cap = WebcamVideoStream(settings.webcam_id).start()
+        try:
+            while True:
+                frame = cap.read()
+                if frame is None:
+                    continue
+                outputs = model(np.asarray(frame))
+                if settings.show and outputs is not None \
+                        and "rendered_image" in outputs:
+                    cv2.imshow("romp_tpu", outputs["rendered_image"])
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        break
+        finally:
+            cap.stop()
+        return 0
+
+    print(f"unknown mode {settings.mode}", file=sys.stderr)
+    return 1
