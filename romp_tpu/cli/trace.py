@@ -1,0 +1,43 @@
+"""`trace2` CLI — temporal video 3D recovery (TRACE).
+
+Parity target: `simple_romp/trace2/main.py`. The device path is the jitted
+TRACE pipeline (romp_tpu/pipeline/trace_pipeline.py).
+"""
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+
+from romp_tpu.cli.common import DEFAULT_HOME, add_common_flags
+
+
+def trace_settings(input_args=None):
+    parser = argparse.ArgumentParser(
+        description="romp_tpu TRACE: temporal multi-person 5D regression")
+    add_common_flags(parser, "trace")
+    parser.add_argument("--center_thresh", type=float, default=0.1)
+    parser.add_argument("--show_items", type=str, default="mesh")
+    parser.add_argument("--temp_clip_length", type=int, default=8)
+    parser.add_argument("--subject_num", type=int, default=-1,
+                        help="lock onto the first-frame subjects (>0)")
+    parser.add_argument("--smpl_path", type=str,
+                        default=osp.join(DEFAULT_HOME, "SMPLA_NEUTRAL.pth"))
+    parser.add_argument("--smil_path", type=str,
+                        default=osp.join(DEFAULT_HOME, "smil_packed_info.pth"))
+    parser.add_argument("--model_path", type=str,
+                        default=osp.join(DEFAULT_HOME, "TRACE.pth"))
+    args = parser.parse_args(input_args)
+    args.calc_smpl = True
+    return args
+
+
+def main(input_args=None):
+    settings = trace_settings(input_args)
+    from romp_tpu.cli.trace_impl import run_trace
+
+    return run_trace(settings)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

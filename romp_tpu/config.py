@@ -1,0 +1,168 @@
+"""Training configuration: typed dataclass tree + YAML overlay + CLI dots.
+
+Replaces the reference's ~120-flag argparse + YAML + import-time global
+singleton (`romp/lib/config.py:28-283`, a documented pain point — SURVEY.md
+§8) with an explicit, picklable config object:
+
+    cfg = load_config("configs/v1.yml", overrides=["train.lr=1e-4"])
+
+YAML files may carry the reference's `ARGS:` section (flat keys mapped onto
+the tree by name for checkpoint-recipe compatibility), a `loss_weight:`
+section (-> cfg.loss.<name>_weight), and `sample_prob:` (-> dataset mix).
+The active config can be dumped (`dump_config`) for out-of-process readers,
+like the reference's active_configs/ yaml snapshots.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    backbone: str = "hrnet32"            # hrnet32 | resnet50
+    version: str = "romp"                # romp | bev | trace
+    input_size: int = 512
+    centermap_size: int = 64
+    max_person: int = 16
+    centermap_conf_thresh: float = 0.25
+    cam_scale_base: float = 1.1
+
+
+@dataclasses.dataclass
+class LossConfig:
+    centermap_weight: float = 1.0
+    kp2d_weight: float = 400.0
+    mpjpe_weight: float = 200.0
+    pampjpe_weight: float = 360.0
+    pose_weight: float = 80.0
+    shape_weight: float = 6.0
+    prior_weight: float = 1.6
+    loss_thresh: float = 1000.0          # per-loss clamp (learnable_loss.py:50)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    datasets: Tuple[str, ...] = ("h36m", "coco", "mpii")
+    sample_probs: Tuple[float, ...] = ()
+    num_person: int = 8                  # fixed GT-person capacity per image
+    shuffle_buffer: int = 1024
+    rot_aug: float = 30.0
+    flip_prob: float = 0.5
+    color_jitter: float = 0.2
+    synthetic_occlusion_prob: float = 0.0
+
+
+@dataclasses.dataclass
+class TrainConfigFull:
+    lr: float = 3e-4
+    weight_decay: float = 1e-6
+    grad_clip: float = 3.0
+    batch_size: int = 64
+    epochs: int = 120
+    warmup_steps: int = 1000
+    compute_dtype: str = "bfloat16"
+    seed: int = 0
+    test_interval: int = 2000            # val cadence (romp/train.py:115)
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 5
+    log_every: int = 50
+    fine_tune: bool = False
+    resume: Optional[str] = None
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    n_devices: Optional[int] = None      # None = all
+    data_axis: str = "data"
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfigFull = dataclasses.field(
+        default_factory=TrainConfigFull)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    tab: str = "romp_tpu"
+    smpl_assets: Optional[str] = None
+
+
+# Flat ARGS-key -> dotted path mapping for reference-yaml compatibility
+# (`romp/lib/config.py` flag names).
+_REF_KEY_MAP = {
+    "lr": "train.lr",
+    "batch_size": "train.batch_size",
+    "epoch": "train.epochs",
+    "fine_tune": "train.fine_tune",
+    "input_size": "model.input_size",
+    "centermap_size": "model.centermap_size",
+    "centermap_conf_thresh": "model.centermap_conf_thresh",
+    "backbone": "model.backbone",
+    "max_person": "model.max_person",
+    "tab": "tab",
+}
+
+
+def _set_dotted(cfg: Config, dotted: str, value) -> bool:
+    parts = dotted.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            return False
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        return False
+    cur = getattr(obj, leaf)
+    if isinstance(cur, bool):
+        value = value in (True, "True", "true", "1", 1)
+    elif isinstance(cur, int) and not isinstance(value, bool):
+        value = int(float(value))
+    elif isinstance(cur, float):
+        value = float(value)
+    elif isinstance(cur, tuple) and isinstance(value, (list, tuple)):
+        value = tuple(value)
+    setattr(obj, leaf, value)
+    return True
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Sequence[str] = ()) -> Config:
+    cfg = Config()
+    if yaml_path:
+        import yaml
+
+        with open(yaml_path) as f:
+            doc = yaml.safe_load(f) or {}
+        # reference-style sections
+        for key, val in (doc.get("ARGS") or {}).items():
+            dotted = _REF_KEY_MAP.get(key, key)
+            if not _set_dotted(cfg, dotted, val):
+                _set_dotted(cfg, f"train.{key}", val) or \
+                    _set_dotted(cfg, f"model.{key}", val)
+        for name, w in (doc.get("loss_weight") or {}).items():
+            _set_dotted(cfg, f"loss.{name}_weight", w)
+        sp = doc.get("sample_prob") or {}
+        if sp:
+            cfg.data.datasets = tuple(sp.keys())
+            cfg.data.sample_probs = tuple(float(v) for v in sp.values())
+        # native nested sections
+        for section in ("model", "loss", "data", "train", "mesh"):
+            for key, val in (doc.get(section) or {}).items():
+                _set_dotted(cfg, f"{section}.{key}", val)
+    for ov in overrides:
+        dotted, _, val = ov.partition("=")
+        if not _set_dotted(cfg, dotted, val):
+            raise KeyError(f"unknown config key {dotted!r}")
+    return cfg
+
+
+def dump_config(cfg: Config, path: str) -> None:
+    import yaml
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

@@ -246,6 +246,41 @@ def basic_block_3d(store: ParamStore, prefix: str, x: jax.Array,
     return batch_norm(store, f"{prefix}.bn2", out) + x
 
 
+def conv_transpose2d(store: ParamStore, prefix: str, x: jax.Array,
+                     out_ch: int, kernel: int = 4, stride: int = 2,
+                     torch_padding: int = 1) -> jax.Array:
+    """Transposed conv matching torch ConvTranspose2d numerics.
+
+    Kernel stored HWOI (torch (I, O, H, W) -> transpose(2, 3, 1, 0));
+    lax.conv_transpose(transpose_kernel=True) with padding
+    kernel - 1 - torch_padding reproduces torch's output exactly
+    (verified: max dev 2e-7 vs ConvTranspose2d(k=4, s=2, p=1)).
+    """
+    in_ch = x.shape[-1]
+    w = store.get(f"{prefix}.weight", (kernel, kernel, out_ch, in_ch),
+                  _he_normal)
+    p = kernel - 1 - torch_padding
+    dt = store.compute_dtype
+    return jax.lax.conv_transpose(
+        x.astype(dt), w.astype(dt), strides=(stride, stride),
+        padding=[(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def max_pool2d(x: jax.Array, window: int, stride: int,
+               padding: int) -> jax.Array:
+    """Strided max pool with torch-style symmetric padding."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
 def linear(store: ParamStore, prefix: str, x: jax.Array,
            out_ch: int) -> jax.Array:
     """Dense layer; torch Linear weight (O, I) kept as stored (matmul x W^T)."""

@@ -51,14 +51,25 @@ def _head(store: ParamStore, prefix: str, x: jax.Array,
 
 
 def romp_forward(store: ParamStore, image: jax.Array,
+                 backbone: str = "hrnet32",
                  ) -> Tuple[jax.Array, jax.Array]:
     """ROMP forward. image: (B, 512, 512, 3) float RGB in [0, 255].
 
-    Returns (center_maps (B, 64, 64, 1), params_maps (B, 64, 64, 142)),
-    channels-last. params_maps = concat[cam(3), pose6d+betas(139)].
+    Returns (center_maps (B, 64, 64, 1), params_maps (B, 64, 64, 145)),
+    channels-last. params_maps = concat[cam(3), pose6d(132), betas(10)].
+
+    backbone: "hrnet32" (inference package default) or "resnet50" (the
+    training repo's alternative, `romp/lib/models/build.py:13`).
     """
-    x = (image / 255.0) * 2.0 - 1.0
-    feat = hrnet_w32(store, x, prefix="backbone")
+    if backbone == "hrnet32":
+        feat = hrnet_w32(store, (image / 255.0) * 2.0 - 1.0,
+                         prefix="backbone")
+    elif backbone == "resnet50":
+        from romp_tpu.models.resnet import resnet50
+
+        feat = resnet50(store, image, prefix="backbone")
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
     cm = coord_maps(feat.shape[1], feat.dtype)
     feat = jnp.concatenate(
         [feat, jnp.broadcast_to(cm, (feat.shape[0], *cm.shape[1:]))], axis=-1)
@@ -70,8 +81,10 @@ def romp_forward(store: ParamStore, image: jax.Array,
     return center_maps, params_maps
 
 
-def init_romp_params(rng: jax.Array, input_size: int = 512):
+def init_romp_params(rng: jax.Array, input_size: int = 512,
+                     backbone: str = "hrnet32"):
     """Initialize a fresh parameter dict by tracing the forward once."""
     store = ParamStore(rng=rng)
-    romp_forward(store, jnp.zeros((1, input_size, input_size, 3), jnp.float32))
+    romp_forward(store, jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+                 backbone=backbone)
     return store.params

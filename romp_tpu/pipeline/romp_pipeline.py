@@ -39,6 +39,7 @@ class RompConfig:
     root_align: bool = False       # CLI default (`romp/main.py:39`)
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     calc_smpl: bool = True
+    backbone: str = "hrnet32"       # or "resnet50"
 
 
 def unpack_params(params_pred: jax.Array, cam_scale_base: float) -> Dict[str, jax.Array]:
@@ -71,7 +72,8 @@ def romp_inference(params: Dict[str, jax.Array], smpl: SmplModel,
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     store = ParamStore(params, compute_dtype=dt)
-    center_maps, params_maps = romp_forward(store, images)
+    center_maps, params_maps = romp_forward(store, images,
+                                            backbone=cfg.backbone)
 
     det = parse_centermap2d(center_maps[..., 0], cfg.max_person,
                             cfg.conf_thresh)

@@ -29,7 +29,9 @@ def convert_torch_state_dict(state_dict: Mapping[str, "object"],
             continue
         arr = val.detach().cpu().numpy() if hasattr(val, "detach") else np.asarray(val)
         if key.endswith(".weight") and arr.ndim == 4:
-            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            # Conv OIHW -> HWIO; ConvTranspose IOHW -> HWOI (the same
+            # permutation — conv_transpose2d stores kernels HWOI).
+            arr = arr.transpose(2, 3, 1, 0)
         elif key.endswith(".weight") and arr.ndim == 5:
             arr = arr.transpose(2, 3, 4, 1, 0)  # OIDHW -> DHWIO
         elif key.endswith(".weight") and arr.ndim == 3:

