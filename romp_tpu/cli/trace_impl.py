@@ -1,0 +1,115 @@
+"""trace2 CLI runner: sequence loading, clip chunking, result saving.
+
+Parity: `simple_romp/trace2/main.py` (sequence loader + cross-clip state
+cacher) and `trace2/track.py:198` (collect_sequence_tracking_results).
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+
+def load_sequence_frames(path: str) -> List[str]:
+    from romp_tpu.utils.io import collect_image_paths, extract_video_frames
+
+    if osp.isfile(path):
+        import tempfile
+
+        return extract_video_frames(
+            path, tempfile.mkdtemp(prefix="trace_frames_"))
+    return collect_image_paths(path)
+
+
+def save_tracking_matrix(results_per_frame: Dict[int, Dict], path: str):
+    """MOT-style tracking text output (frame, id, bbox-ish from pj2d)."""
+    lines = []
+    for fid in sorted(results_per_frame):
+        fr = results_per_frame[fid]
+        for j, tid in enumerate(fr.get("track_ids", [])):
+            pj = fr["pj2d"][j]
+            x0, y0 = pj.min(0)
+            x1, y1 = pj.max(0)
+            lines.append(
+                f"{fid+1},{int(tid)},{x0:.1f},{y0:.1f},{x1-x0:.1f},"
+                f"{y1-y0:.1f},1,-1,-1,-1")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def run_trace(settings) -> int:
+    try:
+        import cv2
+    except ImportError:
+        print("cv2 required", file=sys.stderr)
+        return 1
+    import jax
+
+    from romp_tpu.cli.common import (
+        load_checkpoint_flexible, load_smpl_assets_flexible,
+    )
+    from romp_tpu.models.trace import init_trace_params
+    from romp_tpu.models.romp import init_romp_params
+    from romp_tpu.pipeline.trace_pipeline import TraceConfig, TracePipeline
+    from romp_tpu.pipeline.trace_tracking import SeqConfig
+    from romp_tpu.smpl.body_model import SmplModel
+    from romp_tpu.utils.io import img_preprocess
+
+    def _init_full(rng):
+        p = init_trace_params(rng, clip_length=settings.temp_clip_length)
+        p.update({k: v for k, v in init_romp_params(rng).items()
+                  if k.startswith("backbone.")})
+        return p
+
+    params = load_checkpoint_flexible(settings.model_path, _init_full)
+    adult = load_smpl_assets_flexible(settings.smpl_path, num_betas=11)
+    baby = load_smpl_assets_flexible(settings.smil_path, num_betas=10, seed=1)
+
+    cfg = TraceConfig(temp_clip_length=settings.temp_clip_length,
+                      max_person=settings.max_person,
+                      conf_thresh=settings.center_thresh,
+                      compute_dtype=settings.compute_dtype)
+    seq_cfg = SeqConfig(subject_num=settings.subject_num,
+                        smooth_pose_shape=True)
+    pipe = TracePipeline(params, SmplModel.from_assets(adult),
+                         SmplModel.from_assets(baby), cfg, seq_cfg)
+
+    frame_paths = load_sequence_frames(settings.input)
+    os.makedirs(settings.save_path, exist_ok=True)
+    T = settings.temp_clip_length
+
+    results_per_frame: Dict[int, Dict] = {}
+    for start in range(0, len(frame_paths), T):
+        chunk = frame_paths[start:start + T]
+        frames = np.stack([
+            img_preprocess(cv2.imread(p))[0][0] for p in chunk])
+        out = pipe.process_clip(frames)
+        if out is None:
+            continue
+        n_frames = frames.shape[0]
+        for row in range(len(out["track_ids"])):
+            fid = start + int(out["frame_ids"][row])
+            if not out["frame_valid"][row]:
+                continue
+            fr = results_per_frame.setdefault(fid, {k: [] for k in (
+                "track_ids", "cam", "cam_trans", "world_cams", "world_grots",
+                "smpl_thetas", "smpl_betas", "pj2d", "verts", "joints")})
+            for k in fr:
+                fr[k].append(out[k][row])
+        del n_frames
+    for fid in results_per_frame:
+        results_per_frame[fid] = {
+            k: np.stack(v) for k, v in results_per_frame[fid].items()}
+
+    seq_name = osp.basename(settings.input.rstrip("/")) or "sequence"
+    np.savez(osp.join(settings.save_path, f"{seq_name}.npz"),
+             results={str(k): v for k, v in results_per_frame.items()})
+    save_tracking_matrix(results_per_frame,
+                         osp.join(settings.save_path,
+                                  f"TRACE_{seq_name}.txt"))
+    print(f"saved {len(results_per_frame)} frames of results to "
+          f"{settings.save_path}")
+    return 0

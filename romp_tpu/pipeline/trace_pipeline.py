@@ -1,0 +1,249 @@
+"""TRACE video inference pipeline: clip-chunked streaming with carried state.
+
+Mirrors `simple_romp/trace2/main.py:23-118` (TRACE.forward /
+sequence_inference) + `trace2/models/model.py:412-519` (inference_regression):
+
+per clip of `temp_clip_length` frames (+ the previous clip's last frame):
+  [device] image backbone (HRNet) -> feature maps
+  [device] flow between consecutive frames
+  [device] ConvGRU + deform-warp fusion; det/motion/cam maps; fixed-K 3D
+           parse; per-detection gathers (cams/motions/features/init cams)
+  [host]   motion-offset tracking -> per-track trajectories; memory5D
+           feature gating; cam infilling
+  [device] trajectory regressors (pose/shape/grot/trans)
+  [host]   world-cam accumulation, pose/world smoothing
+  [device] SMPL+A forward + perspective projection
+
+Cross-clip state = (ConvGRU hidden, memory5D, tracker, init_world_cams),
+exactly the reference's temp_states (model.py:508-519).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from romp_tpu.models.hrnet import hrnet_w32
+from romp_tpu.models.layers import ParamStore
+from romp_tpu.models.trace import (
+    DEPTH_LEVELS, HC, OUTMAP, trace_cam_anchor, trace_forward_maps,
+    trace_regress_trajectory, trace_regress_trans,
+)
+from romp_tpu.ops.centermap import parse_centermap3d, sample_maps_at
+from romp_tpu.ops.projection import perspective_projection
+from romp_tpu.ops.rotations import rot6d_to_axis_angle
+from romp_tpu.pipeline.trace_tracking import (
+    ClipTrajectories, Memory5D, MotionOffsetTracker, SeqConfig,
+    accumulate_world_cams, assemble_trajectories, gate_features_with_memory,
+    infill_and_smooth_cams, smooth_pose_params, trace_cam_to_trans,
+)
+from romp_tpu.smpl.body_model import SmplModel, smpla_forward
+
+FOCAL_TRACE = 548.0  # FOV 50 deg at 512 input
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    input_size: int = 512
+    temp_clip_length: int = 8
+    max_person: int = 16
+    max_tracks: int = 16
+    conf_thresh: float = 0.05
+    compute_dtype: str = "float32"
+
+
+def _sample3d(maps: jax.Array, zyx: jax.Array) -> jax.Array:
+    """maps: (T, D, H, W, C); zyx: (T, K, 3) int -> (T, K, C)."""
+    T, D, H, W, C = maps.shape
+    flat = maps.reshape(T, D * H * W, C)
+    idx = (zyx[..., 0] * H + zyx[..., 1]) * W + zyx[..., 2]
+    return jnp.take_along_axis(
+        flat, idx[..., None].astype(jnp.int32), axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def trace_extract_features(params, images, _unused, cfg: TraceConfig):
+    """(T, 512, 512, 3) RGB -> (T, 128, 128, 32) frozen-backbone features."""
+    store = ParamStore(params)
+    x = (images / 255.0) * 2.0 - 1.0
+    return hrnet_w32(store, x, prefix="backbone")
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def trace_maps_and_detect(params, feature_maps, flows, hidden,
+                          cfg: TraceConfig):
+    """Device stage 1: maps + fixed-K per-frame detections + gathers."""
+    store = ParamStore(params)
+    maps, hidden = trace_forward_maps(
+        store, feature_maps, flows, hidden,
+        temp_clip_length=cfg.temp_clip_length)
+    det = parse_centermap3d(maps.center_maps_3d, cfg.max_person,
+                            cfg.conf_thresh, nms_window=5)
+    zyx = det.zyx.astype(jnp.int32)
+    cams = _sample3d(maps.cam_maps_3d, zyx)          # (T, K, 3)
+    motions = _sample3d(maps.motion_maps_3d, zyx)    # (T, K, 3)
+    yx_flat = zyx[..., 1] * OUTMAP + zyx[..., 2]
+    feats = sample_maps_at(maps.mesh_feature_maps, yx_flat)  # (T, K, 128)
+    # initial normalized cams from the trans regressor in image mode
+    init_cams = trace_regress_trans(
+        store, cams.reshape(-1, 1, 3), feats.reshape(-1, 1, HC)
+    ).reshape(cams.shape)
+    return maps, hidden, det, cams, motions, feats, init_cams
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
+                  cfg: TraceConfig, maps=None):
+    """Device stage 2: trajectory regression + map gathers at traj positions.
+
+    traj_feats: (N, T, 128) gated features; cams_init_traj: (N, T, 3);
+    traj_yx: (N, T, 2) int (y, x). Returns params_pred (N, T, 159), normed
+    cams (N, T, 3), cam motions (N, T, 3), cam rot maps at traj (N, T, 6).
+    """
+    store = ParamStore(params)
+    params_pred = trace_regress_trajectory(store, traj_feats)
+    normed_cams = trace_regress_trans(store, cams_init_traj, traj_feats)
+    N, T = traj_yx.shape[:2]
+    yx_flat = (traj_yx[..., 0] * OUTMAP + traj_yx[..., 1]).T  # (T, N)
+    cam_motion = sample_maps_at(maps.cam_motion_maps, yx_flat)  # (T, N, 3)
+    cam_rot = sample_maps_at(maps.cam_rot_maps, yx_flat)        # (T, N, 6)
+    return (params_pred, normed_cams, cam_motion.transpose(1, 0, 2),
+            cam_rot.transpose(1, 0, 2))
+
+
+class TracePipeline:
+    """Stateful sequence processor (one per video / signal)."""
+
+    def __init__(self, params: Dict[str, jax.Array],
+                 smpl_adult: SmplModel, smpl_baby: SmplModel,
+                 cfg: Optional[TraceConfig] = None,
+                 seq_cfg: Optional[SeqConfig] = None,
+                 flow_fn=None):
+        self.params = params
+        self.smpl_adult = smpl_adult
+        self.smpl_baby = smpl_baby
+        self.cfg = cfg or TraceConfig()
+        self.seq_cfg = seq_cfg or SeqConfig()
+        self.flow_fn = flow_fn
+        self.reset()
+
+    def reset(self):
+        self.hidden = None
+        self.memory = Memory5D()
+        self.tracker: Optional[MotionOffsetTracker] = None
+        self.init_world_cams: Dict[int, np.ndarray] = {}
+        self.last_frame: Optional[np.ndarray] = None
+        self.last_feature_map: Optional[jax.Array] = None
+
+    def process_clip(self, frames: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
+        """frames: (T, 512, 512, 3) float RGB [0, 255]. Returns per-person
+        results for each frame of the clip (flattened N x T entries)."""
+        cfg = self.cfg
+        T = frames.shape[0]
+        feats = trace_extract_features(self.params, jnp.asarray(frames),
+                                       None, cfg)
+        # prepend previous clip's last feature map (`trace2/main.py:66-77`)
+        if self.last_feature_map is None:
+            feats_full = jnp.concatenate([feats[:1], feats], axis=0)
+        else:
+            feats_full = jnp.concatenate(
+                [self.last_feature_map[None], feats], axis=0)
+        self.last_feature_map = feats[-1]
+
+        if self.flow_fn is not None:
+            prev = (self.last_frame if self.last_frame is not None
+                    else frames[0])
+            frames_prev = np.concatenate([prev[None], frames[:-1]], axis=0)
+            flows = self.flow_fn(frames_prev, frames)
+        else:
+            flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
+        self.last_frame = frames[-1]
+
+        maps, self.hidden, det, cams, motions, feats_det, init_cams = \
+            trace_maps_and_detect(self.params, feats_full, flows,
+                                  self.hidden, cfg)
+
+        # ---- host: tracking + memory ----
+        det_np = {k: np.asarray(v) for k, v in
+                  {"mask": det.mask, "zyx": det.zyx, "scores": det.scores}.items()}
+        cams_np, motions_np, init_np = (np.asarray(cams), np.asarray(motions),
+                                        np.asarray(init_cams))
+        det_czyxs, det_scores, det_cams, det_motions = [], [], [], []
+        for f in range(T):
+            m = det_np["mask"][f]
+            det_czyxs.append(det_np["zyx"][f][m].astype(np.int32))
+            det_scores.append(det_np["scores"][f][m])
+            det_cams.append(init_np[f][m])
+            det_motions.append(motions_np[f][m])
+        traj, self.tracker = assemble_trajectories(
+            det_czyxs, det_scores, det_cams, det_motions, self.seq_cfg,
+            self.tracker)
+        if traj is None:
+            return None
+
+        # sample features along (completed) trajectories, gate with memory
+        N = traj.czyxs.shape[0]
+        yx_flat = (traj.czyxs[..., 1] * OUTMAP
+                   + traj.czyxs[..., 2]).T             # (T, N)
+        feat_traj = np.asarray(sample_maps_at(
+            maps.mesh_feature_maps, jnp.asarray(yx_flat))).transpose(1, 0, 2)
+        feat_traj = gate_features_with_memory(traj, feat_traj, self.memory,
+                                              self.seq_cfg)
+        cams_init_traj = np.asarray(_sample3d(
+            maps.cam_maps_3d, jnp.asarray(traj.czyxs.transpose(1, 0, 2))
+        )).transpose(1, 0, 2)
+
+        params_pred, normed_cams, cam_motion, cam_rot = trace_regress(
+            self.params, jnp.asarray(feat_traj), jnp.asarray(cams_init_traj),
+            jnp.asarray(traj.czyxs[..., 1:]), cfg, maps=maps)
+        params_pred = np.asarray(params_pred)
+        normed_cams = np.asarray(normed_cams)
+
+        if self.seq_cfg.smooth_pose_shape:
+            params_pred = np.concatenate([
+                params_pred[..., :6],
+                smooth_pose_params(traj, params_pred[..., 6:], self.memory,
+                                   self.seq_cfg)], axis=-1)
+        normed_cams = infill_and_smooth_cams(traj, normed_cams, self.memory,
+                                             self.seq_cfg)
+        world_cams = accumulate_world_cams(
+            traj, normed_cams, np.asarray(cam_motion), self.memory,
+            self.init_world_cams, self.seq_cfg)
+        world_grots_6d = np.asarray(cam_rot) + params_pred[..., 6:12]
+
+        # ---- device: SMPL + projection over all (N*T) entries ----
+        pose6d = params_pred[..., 6:132 + 6]  # cam grot + 21x6
+        thetas = np.asarray(rot6d_to_axis_angle(
+            jnp.asarray(pose6d.reshape(N * T, -1))))
+        thetas = np.concatenate([thetas, np.zeros((N * T, 6), np.float32)], 1)
+        betas = params_pred[..., 138:149].reshape(N * T, 11)
+        verts, joints = smpla_forward(
+            self.smpl_adult, self.smpl_baby, jnp.asarray(betas),
+            jnp.asarray(thetas), root_align=True)
+        cam_trans = trace_cam_to_trans(normed_cams.reshape(N * T, 3))
+        pj2d = perspective_projection(
+            joints, jnp.asarray(cam_trans.astype(np.float32)),
+            focal_length=FOCAL_TRACE, img_size=cfg.input_size)
+
+        world_grots = np.asarray(rot6d_to_axis_angle(
+            jnp.asarray(world_grots_6d.reshape(N * T, 6))))
+
+        return {
+            "track_ids": np.repeat(traj.track_ids, T),
+            "frame_ids": np.tile(np.arange(T), N),
+            "frame_valid": traj.frame_valid.reshape(-1),
+            "czyxs": traj.czyxs.reshape(N * T, 3),
+            "cam": normed_cams.reshape(N * T, 3),
+            "cam_trans": cam_trans,
+            "world_cams": world_cams.reshape(N * T, 3),
+            "world_grots": world_grots,
+            "smpl_thetas": thetas,
+            "smpl_betas": betas,
+            "verts": np.asarray(verts),
+            "joints": np.asarray(joints),
+            "pj2d": np.asarray(pj2d),
+        }

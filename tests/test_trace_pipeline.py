@@ -1,0 +1,128 @@
+"""TRACE pipeline integration tests: tracking logic + end-to-end smoke."""
+import numpy as np
+import pytest
+
+import jax
+
+from romp_tpu.pipeline.trace_tracking import (
+    Memory5D, SeqConfig, assemble_trajectories, gate_features_with_memory,
+    infill_and_smooth_cams, trace_cam_to_trans,
+)
+
+
+def _dets_for_two_people(T, jitter=0.0, drop=()):
+    rng = np.random.RandomState(0)
+    base = [np.array([0.8, 0.1, 0.1]), np.array([0.5, -0.4, 0.5])]
+    czyxs, scores, cams, motions = [], [], [], []
+    for f in range(T):
+        fc, fs, fz, fm = [], [], [], []
+        for p, b in enumerate(base):
+            if (f, p) in drop:
+                continue
+            cam = b + rng.randn(3) * jitter
+            fz.append([10 + p, 40 + p * 30 + f, 60 + p * 10])
+            fs.append(0.9)
+            fc.append(cam)
+            fm.append(np.zeros(3))
+        czyxs.append(np.asarray(fz, np.int32).reshape(-1, 3))
+        scores.append(np.asarray(fs, np.float32))
+        cams.append(np.asarray(fc, np.float32).reshape(-1, 3))
+        motions.append(np.asarray(fm, np.float32).reshape(-1, 3))
+    return czyxs, scores, cams, motions
+
+
+def test_assemble_trajectories_two_stable_tracks():
+    cfg = SeqConfig(subject_num=-1)
+    T = 8
+    traj, tracker = assemble_trajectories(
+        *_dets_for_two_people(T, jitter=0.005), cfg)
+    assert traj is not None
+    assert len(traj.track_ids) == 2
+    assert traj.frame_valid.all()
+    # continuing the same tracker across a second clip keeps identities
+    traj2, _ = assemble_trajectories(
+        *_dets_for_two_people(T, jitter=0.005), cfg, tracker)
+    assert set(traj2.track_ids) == set(traj.track_ids)
+
+
+def test_trajectory_infilling_on_missed_frames():
+    cfg = SeqConfig(subject_num=-1)
+    T = 8
+    traj, _ = assemble_trajectories(
+        *_dets_for_two_people(T, drop=[(3, 0), (4, 0)]), cfg)
+    tid0_row = 0 if traj.frame_valid[0].sum() == 6 else 1
+    assert traj.frame_valid[tid0_row].sum() == 6
+    assert not traj.frame_valid[tid0_row][3]
+
+    # feature gating: missed frames inherit memory
+    mem = Memory5D()
+    feats = np.random.RandomState(1).randn(2, T, 8).astype(np.float32)
+    gated = gate_features_with_memory(traj, feats, mem, cfg)
+    assert traj.inherent_flags[tid0_row][3]
+    np.testing.assert_array_equal(gated[tid0_row, 3], gated[tid0_row, 2])
+
+    # cam infilling interpolates the two missing frames
+    cams = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (2, T, 1))
+    cams[tid0_row, 2] = [1.0, 0.0, 0.0]
+    cams[tid0_row, 5] = [1.0, 0.3, 0.3]
+    cfg_nosmooth = SeqConfig(smooth_pos_cam=False)
+    filled = infill_and_smooth_cams(traj, cams.copy(), Memory5D(),
+                                    cfg_nosmooth)
+    np.testing.assert_allclose(filled[tid0_row, 3],
+                               cams[tid0_row, 2] * 2 / 3
+                               + cams[tid0_row, 5] / 3, atol=1e-5)
+
+
+def test_subject_num_locks_first_frame_subjects():
+    cfg = SeqConfig(subject_num=1, accept_new_dets=False)
+    traj, _ = assemble_trajectories(*_dets_for_two_people(8), cfg)
+    assert len(traj.track_ids) == 1
+
+
+def test_trace_cam_to_trans_depth_positive():
+    cams = np.array([[1.0, 0.2, -0.3], [0.2, 0.0, 0.0]], np.float32)
+    t = trace_cam_to_trans(cams)
+    assert (t[:, 2] > 0).all()
+    assert t[0, 2] < t[1, 2]  # larger scale -> nearer
+
+
+@pytest.mark.slow
+def test_trace_pipeline_end_to_end_smoke():
+    from romp_tpu.models.hrnet import hrnet_w32  # noqa: F401
+    from romp_tpu.models.trace import init_trace_params
+    from romp_tpu.models.romp import init_romp_params
+    from romp_tpu.pipeline.trace_pipeline import TraceConfig, TracePipeline
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    params = init_trace_params(jax.random.PRNGKey(0), clip_length=2)
+    # add the image backbone (HRNet) under the same flat dict
+    backbone = init_romp_params(jax.random.PRNGKey(1))
+    params.update({k: v for k, v in backbone.items()
+                   if k.startswith("backbone.")})
+
+    adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
+    baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
+    cfg = TraceConfig(temp_clip_length=2, max_person=4, conf_thresh=-1e9)
+    seq_cfg_kwargs = dict(large_object_thresh=-1e9,
+                          first_frame_det_thresh=-1e9,
+                          tracker_det_thresh=-1e9,
+                          tracker_match_thresh=1e9)
+    from romp_tpu.pipeline.trace_tracking import SeqConfig as SC
+
+    pipe = TracePipeline(params, adult, baby, cfg, SC(**seq_cfg_kwargs))
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(2, 512, 512, 3).astype(np.float32) * 255.0
+    out1 = pipe.process_clip(frames)
+    assert out1 is not None
+    N1 = len(set(out1["track_ids"]))
+    assert N1 >= 1
+    assert out1["verts"].shape[-2:] == (6890, 3)
+    assert np.isfinite(out1["world_cams"]).all()
+    assert np.isfinite(out1["pj2d"]).all()
+
+    # second clip: carried state (hidden/tracker/memory) must persist
+    out2 = pipe.process_clip(frames)
+    assert out2 is not None
+    assert set(out2["track_ids"]) & set(out1["track_ids"])
