@@ -27,6 +27,9 @@ def trace_settings(input_args=None):
                         default=osp.join(DEFAULT_HOME, "smil_packed_info.pth"))
     parser.add_argument("--model_path", type=str,
                         default=osp.join(DEFAULT_HOME, "TRACE.pth"))
+    parser.add_argument("--raft_model_path", type=str,
+                        default=osp.join(DEFAULT_HOME, "raft-things.pth"),
+                        help="RAFT optical-flow weights; zero flow if absent")
     args = parser.parse_args(input_args)
     args.calc_smpl = True
     return args

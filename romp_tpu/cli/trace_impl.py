@@ -74,8 +74,28 @@ def run_trace(settings) -> int:
                       compute_dtype=settings.compute_dtype)
     seq_cfg = SeqConfig(subject_num=settings.subject_num,
                         smooth_pose_shape=True)
+    flow_fn = None
+    raft_path = getattr(settings, "raft_model_path", "")
+    if raft_path and osp.exists(raft_path):
+        from romp_tpu.models.raft import (
+            filter_raft_state_dict, make_trace_flow_fn,
+        )
+        from romp_tpu.utils.checkpoint import load_torch_checkpoint
+
+        raft_params = filter_raft_state_dict({
+            k: v for k, v in load_torch_checkpoint(raft_path).items()
+            if "num_batches_tracked" not in k})
+        import jax.numpy as jnp
+
+        raft_params = {k: jnp.asarray(v) for k, v in raft_params.items()}
+        flow_fn = make_trace_flow_fn(raft_params)
+    else:
+        print("RAFT weights not found; running TRACE with zero optical flow",
+              file=sys.stderr)
+
     pipe = TracePipeline(params, SmplModel.from_assets(adult),
-                         SmplModel.from_assets(baby), cfg, seq_cfg)
+                         SmplModel.from_assets(baby), cfg, seq_cfg,
+                         flow_fn=flow_fn)
 
     frame_paths = load_sequence_frames(settings.input)
     os.makedirs(settings.save_path, exist_ok=True)

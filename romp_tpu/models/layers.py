@@ -86,16 +86,20 @@ def conv2d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
     `prefix` is the torch module path; weights live at f"{prefix}.weight"
     (stored HWIO) and optionally f"{prefix}.bias".
     """
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
     if padding is None:
-        padding = (kernel - 1) // 2
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    elif isinstance(padding, int):
+        ph = pw = padding
+    else:
+        ph, pw = padding
     in_ch = x.shape[-1]
-    w = store.get(f"{prefix}.weight", (kernel, kernel, in_ch, out_ch),
-                  _he_normal)
+    w = store.get(f"{prefix}.weight", (kh, kw, in_ch, out_ch), _he_normal)
     dt = store.compute_dtype
     y = jax.lax.conv_general_dilated(
         x.astype(dt), w.astype(dt),
         window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
+        padding=[(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )

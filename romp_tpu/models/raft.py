@@ -1,0 +1,243 @@
+"""RAFT optical flow — JAX port of the recurrent all-pairs field transform.
+
+Parity target: the vendored `simple_romp/trace2/models/raft/` (basic variant:
+256-dim instance-norm feature encoder, batch-norm context encoder, 4-level
+all-pairs correlation pyramid with radius-4 lookup, 12 SepConvGRU update
+iterations, convex-combination 8x flow upsampling). Parameter names equal the
+torch state_dict keys so released raft-things checkpoints convert directly.
+
+TPU notes: the all-pairs correlation is one big (B, H*W, C) x (B, C, H*W)
+matmul (MXU); the per-iteration pyramid lookup is a batched bilinear gather;
+the update loop is a python-unrolled 12-step chain (static iteration count).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from romp_tpu.models.layers import ParamStore, batch_norm, conv2d
+from romp_tpu.ops.deform_conv import bilinear_sample
+
+HDIM = CDIM = 128
+CORR_LEVELS = 4
+CORR_RADIUS = 4
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Parameter-free InstanceNorm2d (torch default: affine=False)."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _norm(store, prefix, x, kind):
+    if kind == "instance":
+        return instance_norm(x)
+    if kind == "batch":
+        return batch_norm(store, prefix, x)
+    return x
+
+
+def _residual_block(store: ParamStore, prefix: str, x: jax.Array,
+                    planes: int, norm: str, stride: int = 1) -> jax.Array:
+    y = conv2d(store, f"{prefix}.conv1", x, planes, 3, stride, bias=True)
+    y = jax.nn.relu(_norm(store, f"{prefix}.norm1", y, norm))
+    y = conv2d(store, f"{prefix}.conv2", y, planes, 3, 1, bias=True)
+    y = jax.nn.relu(_norm(store, f"{prefix}.norm2", y, norm))
+    if stride != 1:
+        x = conv2d(store, f"{prefix}.downsample.0", x, planes, 1, stride,
+                   padding=0, bias=True)
+        # torch registers this norm twice (as `norm3` and `downsample.1`);
+        # we use `norm3` and checkpoint loading drops the alias.
+        x = _norm(store, f"{prefix}.norm3", x, norm)
+    return jax.nn.relu(x + y)
+
+
+def basic_encoder(store: ParamStore, prefix: str, x: jax.Array,
+                  output_dim: int, norm: str) -> jax.Array:
+    """(B, H, W, 3) in [-1, 1] -> (B, H/8, W/8, output_dim)."""
+    x = conv2d(store, f"{prefix}.conv1", x, 64, 7, 2, padding=3, bias=True)
+    x = jax.nn.relu(_norm(store, f"{prefix}.norm1", x, norm))
+    for li, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)], 1):
+        x = _residual_block(store, f"{prefix}.layer{li}.0", x, planes, norm,
+                            stride)
+        x = _residual_block(store, f"{prefix}.layer{li}.1", x, planes, norm, 1)
+    return conv2d(store, f"{prefix}.conv2", x, output_dim, 1, 1, padding=0,
+                  bias=True)
+
+
+def build_corr_pyramid(fmap1: jax.Array, fmap2: jax.Array
+                       ) -> List[jax.Array]:
+    """All-pairs correlation + 2x average pools.
+
+    fmap*: (B, H, W, C). Returns levels of (B, H*W, H_i, W_i).
+    """
+    B, H, W, C = fmap1.shape
+    corr = jnp.einsum("bxc,byc->bxy", fmap1.reshape(B, H * W, C),
+                      fmap2.reshape(B, H * W, C),
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(C, corr.dtype))
+    corr = corr.reshape(B, H * W, H, W)
+    pyramid = [corr]
+    for _ in range(CORR_LEVELS - 1):
+        corr = jax.lax.reduce_window(
+            corr, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
+            "VALID") / 4.0
+        pyramid.append(corr)
+    return pyramid
+
+
+def corr_lookup(pyramid: List[jax.Array], coords: jax.Array,
+                radius: int = CORR_RADIUS) -> jax.Array:
+    """coords: (B, H, W, 2) (x, y) target positions. Returns
+    (B, H, W, LEVELS*(2r+1)^2) sampled correlation features."""
+    B, H, W, _ = coords.shape
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    # RAFT quirk kept for channel-order checkpoint parity: the window's
+    # FIRST axis offsets x and the second offsets y
+    # (`raft/corr.py:37-42`: delta=(dy,dx) is added to (x,y) coords).
+    da, db = jnp.meshgrid(d, d, indexing="ij")
+    outs = []
+    for i, corr in enumerate(pyramid):
+        c = coords.reshape(B, H * W, 1, 2) / (2 ** i)
+        ys = c[..., 1] + db.reshape(1, 1, -1)
+        xs = c[..., 0] + da.reshape(1, 1, -1)
+        lvl = corr.reshape(B * H * W, *corr.shape[2:], 1)
+        sampled = jax.vmap(bilinear_sample)(
+            lvl, ys.reshape(B * H * W, -1), xs.reshape(B * H * W, -1))
+        outs.append(sampled.reshape(B, H, W, -1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _motion_encoder(store: ParamStore, flow: jax.Array,
+                    corr: jax.Array) -> jax.Array:
+    p = "update_block.encoder"
+    cor = jax.nn.relu(conv2d(store, f"{p}.convc1", corr, 256, 1, 1,
+                             padding=0, bias=True))
+    cor = jax.nn.relu(conv2d(store, f"{p}.convc2", cor, 192, 3, 1, bias=True))
+    flo = jax.nn.relu(conv2d(store, f"{p}.convf1", flow, 128, 7, 1,
+                             padding=3, bias=True))
+    flo = jax.nn.relu(conv2d(store, f"{p}.convf2", flo, 64, 3, 1, bias=True))
+    out = jax.nn.relu(conv2d(store, f"{p}.conv",
+                             jnp.concatenate([cor, flo], -1), 126, 3, 1,
+                             bias=True))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def _sep_conv_gru(store: ParamStore, h: jax.Array, x: jax.Array) -> jax.Array:
+    p = "update_block.gru"
+
+    def half(h, suffix, kernel_hw):
+        hx = jnp.concatenate([h, x], axis=-1)
+
+        def cv(name, inp):
+            return conv2d(store, f"{p}.{name}{suffix}", inp, HDIM,
+                          kernel_hw, 1, bias=True)
+
+        z = jax.nn.sigmoid(cv("convz", hx))
+        r = jax.nn.sigmoid(cv("convr", hx))
+        q = jnp.tanh(cv("convq", jnp.concatenate([r * h, x], -1)))
+        return (1 - z) * h + z * q
+
+    h = half(h, "1", (1, 5))
+    h = half(h, "2", (5, 1))
+    return h
+
+
+def _flow_head(store: ParamStore, net: jax.Array) -> jax.Array:
+    p = "update_block.flow_head"
+    y = jax.nn.relu(conv2d(store, f"{p}.conv1", net, 256, 3, 1, bias=True))
+    return conv2d(store, f"{p}.conv2", y, 2, 3, 1, bias=True)
+
+
+def _mask_head(store: ParamStore, net: jax.Array) -> jax.Array:
+    p = "update_block.mask"
+    y = jax.nn.relu(conv2d(store, f"{p}.0", net, 256, 3, 1, bias=True))
+    return 0.25 * conv2d(store, f"{p}.2", y, 64 * 9, 1, 1, padding=0,
+                         bias=True)
+
+
+def upsample_flow_convex(flow: jax.Array, mask: jax.Array) -> jax.Array:
+    """Convex-combination 8x upsampling (`raft.py:67-80`).
+
+    flow: (B, H, W, 2); mask: (B, H, W, 64*9). Returns (B, 8H, 8W, 2).
+    """
+    B, H, W, _ = flow.shape
+    mask = mask.reshape(B, H, W, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+    # 3x3 neighborhoods of 8*flow via shifts (zero padded like F.unfold)
+    f = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack([f[:, i:i + H, j:j + W] for i in range(3)
+                       for j in range(3)], axis=3)  # (B, H, W, 9, 2)
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, neigh)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * H, 8 * W, 2)
+
+
+def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
+                 iters: int = 12) -> Tuple[jax.Array, jax.Array]:
+    """RGB images (B, H, W, 3) in [0, 255] -> (flow_low, flow_up).
+
+    flow_low: (B, H/8, W/8, 2); flow_up: (B, H, W, 2), both (dx, dy).
+    """
+    image1 = 2.0 * (image1 / 255.0) - 1.0
+    image2 = 2.0 * (image2 / 255.0) - 1.0
+    fmap1 = basic_encoder(store, "fnet", image1, 256, "instance")
+    fmap2 = basic_encoder(store, "fnet", image2, 256, "instance")
+    pyramid = build_corr_pyramid(fmap1, fmap2)
+
+    cnet = basic_encoder(store, "cnet", image1, HDIM + CDIM, "batch")
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    B, H, W, _ = fmap1.shape
+    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (B, H, W, 2))
+    coords1 = coords0
+
+    flow_up = None
+    for _ in range(iters):
+        corr = corr_lookup(pyramid, coords1)
+        flow = coords1 - coords0
+        motion = _motion_encoder(store, flow, corr)
+        net = _sep_conv_gru(store, net, jnp.concatenate([inp, motion], -1))
+        delta = _flow_head(store, net)
+        coords1 = coords1 + delta
+        mask = _mask_head(store, net)
+        flow_up = upsample_flow_convex(coords1 - coords0, mask)
+    return coords1 - coords0, flow_up
+
+
+def filter_raft_state_dict(params: dict) -> dict:
+    """Drop torch's duplicate `downsample.1` norm aliases (same tensors as
+    `norm3`) from a converted RAFT checkpoint."""
+    return {k: v for k, v in params.items() if ".downsample.1." not in k}
+
+
+def make_trace_flow_fn(raft_params: dict, iters: int = 20,
+                       out_size: int = 128):
+    """Flow extractor for TRACE, matching the reference FlowExtract
+    (`trace2/models/raft/process.py:17-28`): RAFT at full 512 resolution,
+    bilinearly resized to 128x128 and divided by 8 (flow-vector units on the
+    feature map grid). Returns a jitted fn (prev, cur) -> (T, 128, 128, 2).
+    """
+    @jax.jit
+    def flow_fn(frames_prev, frames_cur):
+        store = ParamStore(raft_params)
+        _, flow_up = raft_forward(store, frames_prev, frames_cur,
+                                  iters=iters)
+        flow = jax.image.resize(
+            flow_up, (flow_up.shape[0], out_size, out_size, 2), "bilinear")
+        return flow / 8.0
+
+    return flow_fn
+
+
+def init_raft_params(rng: jax.Array, size: int = 64):
+    store = ParamStore(rng=rng)
+    img = jnp.zeros((1, size, size, 3))
+    raft_forward(store, img, img, iters=1)
+    return store.params

@@ -1,0 +1,56 @@
+"""RAFT parity vs the vendored torch implementation."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from romp_tpu.models.layers import ParamStore
+from romp_tpu.models.raft import (
+    filter_raft_state_dict, init_raft_params, raft_forward,
+)
+from romp_tpu.utils.checkpoint import convert_torch_state_dict
+from tests._oracle import ref_package
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_raft():
+    imp = ref_package("refraftroot", "simple_romp/trace2/models")
+    mod = imp("raft.raft")
+    torch.manual_seed(0)
+    return mod.RAFT(small=False).eval()
+
+
+@pytest.mark.slow
+def test_raft_parity(ref_raft):
+    sd = ref_raft.state_dict()
+    sd = {k: v for k, v in sd.items() if "num_batches_tracked" not in k}
+    params = filter_raft_state_dict({
+        k: jnp.asarray(v) for k, v in convert_torch_state_dict(sd).items()})
+    ours_init = init_raft_params(jax.random.PRNGKey(0))
+    from romp_tpu.utils.checkpoint import check_params_match
+
+    check_params_match(params, ours_init)
+
+    rng = np.random.RandomState(0)
+    im1 = rng.rand(1, 128, 128, 3).astype(np.float32) * 255.0
+    im2 = np.roll(im1, 2, axis=2)  # horizontal shift
+
+    with torch.no_grad():
+        t1 = torch.from_numpy(im1.transpose(0, 3, 1, 2))
+        t2 = torch.from_numpy(im2.transpose(0, 3, 1, 2))
+        flow_low_ref, flow_up_ref = ref_raft(t1, t2, iters=6, test_mode=True)
+
+    store = ParamStore(params)
+    flow_low, flow_up = jax.jit(
+        lambda a, b: raft_forward(store, a, b, iters=6))(
+        jnp.asarray(im1), jnp.asarray(im2))
+
+    np.testing.assert_allclose(
+        np.asarray(flow_low), flow_low_ref.numpy().transpose(0, 2, 3, 1),
+        atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(flow_up), flow_up_ref.numpy().transpose(0, 2, 3, 1),
+        atol=5e-3)
