@@ -1,0 +1,268 @@
+"""Dataset layer: normalized annotation packs, augmentation, mixed sampling.
+
+Replaces the reference's 20-adapter torch Dataset stack
+(`romp/lib/dataset/*.py`, `image_base.py:40-200`, `mixed_dataset.py:35-61`)
+with one normalized record format + thin per-source converters:
+
+- every dataset is converted (offline or at load) into ImageAnnotation
+  records: per-person SMPL54-mapped kp2d/kp3d + optional SMPL params;
+- MixedDataset samples sources with configured probabilities
+  (`mixed_dataset.py:35`: prob-weighted concat);
+- batches are fixed-shape (B, P, ...) dicts consumed directly by the SPMD
+  train step (center maps + sampling indices are derived ON DEVICE from the
+  normalized centers, so the host emits only compact annotations).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os.path as osp
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from romp_tpu.train.data.augment import AugmentConfig, augment_sample
+from romp_tpu.train.data.skeletons import (
+    FORMATS, INVALID, SMPL_ALL_54, joint_mapping, map_joints,
+)
+
+
+@dataclasses.dataclass
+class ImageAnnotation:
+    """One image's normalized annotations (P persons, SMPL54 joint order)."""
+
+    image_path: str
+    kp2ds: np.ndarray                      # (P, 54, 2) pixels, INVALID=-2
+    kp3ds: Optional[np.ndarray] = None     # (P, 54, 3) root-relative meters
+    poses: Optional[np.ndarray] = None     # (P, 66) axis-angle
+    betas: Optional[np.ndarray] = None     # (P, 10)
+    kp3d_mask: Optional[np.ndarray] = None   # (P,) bool
+    pose_mask: Optional[np.ndarray] = None
+    betas_mask: Optional[np.ndarray] = None
+
+    @property
+    def num_person(self) -> int:
+        return self.kp2ds.shape[0]
+
+
+def save_pack(path: str, records: Sequence[ImageAnnotation]) -> None:
+    blob = [dataclasses.asdict(r) for r in records]
+    np.savez_compressed(path, records=np.asarray(blob, dtype=object))
+
+
+def load_pack(path: str) -> List[ImageAnnotation]:
+    data = np.load(path, allow_pickle=True)["records"]
+    return [ImageAnnotation(**d) for d in data]
+
+
+class SingleDataset:
+    """Records + augmentation -> fixed-shape samples."""
+
+    def __init__(self, records: Sequence[ImageAnnotation], name: str,
+                 aug: Optional[AugmentConfig] = None, num_person: int = 8,
+                 train: bool = True, image_root: str = ""):
+        self.records = list(records)
+        self.name = name
+        self.aug = aug or AugmentConfig()
+        self.num_person = num_person
+        self.train = train
+        self.image_root = image_root
+
+    def __len__(self):
+        return len(self.records)
+
+    def _read_image(self, path: str) -> np.ndarray:
+        import cv2
+
+        full = osp.join(self.image_root, path) if self.image_root else path
+        img = cv2.imread(full)
+        if img is None:
+            raise FileNotFoundError(full)
+        return img[:, :, ::-1]  # BGR -> RGB
+
+    def get_sample(self, index: int,
+                   rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        rec = self.records[index % len(self.records)]
+        image = self._read_image(rec.image_path)
+        P = self.num_person
+        n = min(rec.num_person, P)
+
+        kp2ds = rec.kp2ds[:n].astype(np.float32)
+        kp3ds = (rec.kp3ds[:n].astype(np.float32)
+                 if rec.kp3ds is not None else None)
+        poses = (rec.poses[:n].astype(np.float32)
+                 if rec.poses is not None else None)
+        image, kp2ds, kp3ds, poses = augment_sample(
+            image, kp2ds, kp3ds, poses, self.aug, rng, self.train)
+
+        def _pad(a, shape, fill):
+            out = np.full(shape, fill, np.float32)
+            if a is not None:
+                out[:a.shape[0]] = a
+            return out
+
+        vis = (kp2ds > INVALID + 1e-6).all(-1)                 # (n, 54)
+        person_ok = vis.sum(-1) >= 2
+        centers = np.full((P, 2), -2.0, np.float32)
+        bbox_hw = np.zeros((P, 2), np.float32)
+        for p in range(n):
+            if not person_ok[p]:
+                continue
+            pts = kp2ds[p][vis[p]]
+            centers[p] = (pts.min(0) + pts.max(0)) / 2.0
+            bbox_hw[p] = (pts.max(0) - pts.min(0))[::-1]       # (h, w)
+
+        mask = np.zeros(P, bool)
+        mask[:n] = person_ok
+
+        def _flag(m):
+            out = np.zeros(P, bool)
+            if m is not None:
+                out[:n] = np.asarray(m[:n], bool) & person_ok
+            return out
+
+        return {
+            "image": image,
+            "person_centers": centers,
+            "person_bbox_hw": bbox_hw,
+            "person_mask": mask,
+            "kp2d_gt": _pad(kp2ds, (P, 54, 2), INVALID),
+            "kp3d_gt": _pad(kp3ds, (P, 54, 3), INVALID),
+            "kp3d_mask": _flag(rec.kp3d_mask
+                               if rec.kp3d_mask is not None
+                               else ([True] * n if kp3ds is not None
+                                     else None)),
+            "pose_gt": _pad(poses, (P, 66), 0.0),
+            "pose_mask": _flag(rec.pose_mask
+                               if rec.pose_mask is not None
+                               else ([True] * n if poses is not None
+                                     else None)),
+            "betas_gt": _pad(rec.betas[:n] if rec.betas is not None else None,
+                             (P, 10), 0.0),
+            "betas_mask": _flag(rec.betas_mask
+                                if rec.betas_mask is not None
+                                else ([True] * n if rec.betas is not None
+                                      else None)),
+        }
+
+
+class MixedDataset:
+    """Probability-weighted multi-source sampler (`mixed_dataset.py:35-61`)."""
+
+    def __init__(self, datasets: Sequence[SingleDataset],
+                 sample_probs: Optional[Sequence[float]] = None):
+        self.datasets = list(datasets)
+        if sample_probs is None or not len(sample_probs):
+            sample_probs = [len(d) for d in datasets]
+        p = np.asarray(sample_probs, np.float64)
+        self.probs = p / p.sum()
+
+    def sample(self, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        d = self.datasets[rng.choice(len(self.datasets), p=self.probs)]
+        return d.get_sample(rng.randint(len(d)), rng)
+
+
+def batch_iterator(mixed: MixedDataset, batch_size: int,
+                   seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.RandomState(seed)
+    while True:
+        samples = [mixed.sample(rng) for _ in range(batch_size)]
+        yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+# ------------------------------------------------------------- converters --
+
+def from_coco_json(json_path: str, min_kps: int = 2) -> List[ImageAnnotation]:
+    """COCO person-keypoints json -> records (COCO_17 -> SMPL54 mapping as
+    `romp/lib/dataset/coco14.py:31`)."""
+    import json
+
+    with open(json_path) as f:
+        doc = json.load(f)
+    images = {im["id"]: im["file_name"] for im in doc["images"]}
+    mapping = joint_mapping(FORMATS["coco17"], SMPL_ALL_54)
+    per_image: Dict[int, List[np.ndarray]] = {}
+    for ann in doc["annotations"]:
+        if ann.get("num_keypoints", 0) < min_kps or ann.get("iscrowd", 0):
+            continue
+        kp = np.asarray(ann["keypoints"], np.float32).reshape(17, 3)
+        kp2d = kp[:, :2].copy()
+        kp2d[kp[:, 2] < 1] = INVALID
+        per_image.setdefault(ann["image_id"], []).append(kp2d)
+    records = []
+    for img_id, kps in per_image.items():
+        kp54 = map_joints(np.stack(kps), mapping)
+        records.append(ImageAnnotation(images[img_id], kp54))
+    return records
+
+
+def from_pw3d_sequences(seq_dir: str, image_dir: str,
+                        split: str = "train") -> List[ImageAnnotation]:
+    """Official 3DPW sequenceFiles pkls -> records (poses/betas/jointPositions
+    per frame per actor; layout as `romp/lib/dataset/pw3d.py` pack_data)."""
+    import glob
+    import pickle
+
+    from romp_tpu.train.data.skeletons import SMPL_24
+
+    mapping24 = joint_mapping(FORMATS["smpl24"], SMPL_ALL_54)
+    records = []
+    for pkl in sorted(glob.glob(osp.join(seq_dir, split, "*.pkl"))):
+        with open(pkl, "rb") as f:
+            seq = pickle.load(f, encoding="latin1")
+        name = seq["sequence"]
+        n_frames = len(seq["img_frame_ids"]) if "img_frame_ids" in seq \
+            else seq["poses"][0].shape[0]
+        n_actors = len(seq["poses"])
+        for fid in range(n_frames):
+            kp2ds, kp3ds, poses, betas = [], [], [], []
+            for a in range(n_actors):
+                if "campose_valid" in seq and \
+                        not seq["campose_valid"][a][fid]:
+                    continue
+                p2 = np.asarray(seq["poses2d"][a][fid], np.float32)  # (3, 18)
+                kp2d = p2[:2].T.copy()
+                kp2d[p2[2].T < 0.3] = INVALID
+                # poses2d are COCO18-ordered; map the common joints
+                from romp_tpu.train.data.skeletons import joint_mapping as jm
+                COCO_18 = {
+                    'Nose': 0, 'Neck': 1, 'R_Shoulder': 2, 'R_Elbow': 3,
+                    'R_Wrist': 4, 'L_Shoulder': 5, 'L_Elbow': 6,
+                    'L_Wrist': 7, 'R_Hip': 8, 'R_Knee': 9, 'R_Ankle': 10,
+                    'L_Hip': 11, 'L_Knee': 12, 'L_Ankle': 13, 'R_Eye': 14,
+                    'L_Eye': 15, 'R_Ear': 16, 'L_Ear': 17}
+                kp2ds.append(map_joints(kp2d[None],
+                                        jm(COCO_18, SMPL_ALL_54))[0])
+                j3d = np.asarray(
+                    seq["jointPositions"][a][fid], np.float32).reshape(24, 3)
+                j3d = j3d - j3d[0]
+                kp3ds.append(map_joints(j3d[None], mapping24)[0])
+                poses.append(np.asarray(seq["poses"][a][fid],
+                                        np.float32)[:66])
+                betas.append(np.asarray(seq["betas"][a], np.float32)[:10])
+            if not kp2ds:
+                continue
+            records.append(ImageAnnotation(
+                osp.join(image_dir, name, f"image_{fid:05d}.jpg"),
+                np.stack(kp2ds), np.stack(kp3ds), np.stack(poses),
+                np.stack(betas)))
+    return records
+
+
+def from_packed_npz(npz_path: str, image_root: str = "",
+                    src_format: str = "smpl54") -> List[ImageAnnotation]:
+    """Generic loader for reference-style preprocessed annotation npz files
+    ({image_name: (P, J, 2|3) kp arrays}, like coco14.py annots_*.npz)."""
+    annots = np.load(npz_path, allow_pickle=True)["annot"][()]
+    mapping = joint_mapping(FORMATS[src_format], SMPL_ALL_54)
+    records = []
+    for img_name, kps in annots.items():
+        kps = np.asarray(kps, np.float32)
+        if kps.ndim == 2:
+            kps = kps[None]
+        kp2d = kps[..., :2]
+        if kps.shape[-1] >= 3:
+            kp2d = np.where((kps[..., 2:3] > 0), kp2d, INVALID)
+        records.append(ImageAnnotation(
+            osp.join(image_root, str(img_name)),
+            map_joints(kp2d, mapping)))
+    return records

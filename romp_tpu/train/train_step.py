@@ -87,9 +87,11 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
 
     batch keys (all fixed-shape):
       image          (B, S, S, 3) float RGB [0,255]
-      centermap_gt   (B, 64, 64)
-      person_inds    (B, P) int32 flat GT-center indices into 64x64
+      person_centers (B, P, 2) normalized (x, y) in [-1, 1]; invalid = -2
+      person_bbox_hw (B, P, 2) normalized bbox (h, w) sizes
       person_mask    (B, P) bool
+      (GT center heatmaps and flat sampling indices are derived here, ON
+       DEVICE, from the centers — the host ships only compact annotations)
       kp2d_gt        (B, P, 54, 2) in [-1,1], invalid joints = -2
       kp3d_gt        (B, P, 54, 3), invalid joints = -2
       kp3d_mask      (B, P) bool — person has 3D supervision
@@ -104,7 +106,19 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
     center_maps, params_maps = romp_forward(store, batch["image"])
 
     B, P = batch["person_mask"].shape
-    params_pred = sample_maps_at(params_maps, batch["person_inds"])
+    map_size = center_maps.shape[1]
+    from romp_tpu.train.centermap_gt import generate_centermap, person_radius
+
+    centers = batch["person_centers"]
+    radii = person_radius(batch["person_bbox_hw"], map_size)
+    centermap_gt = generate_centermap(centers, radii, batch["person_mask"],
+                                      map_size)
+    cx = jnp.clip(jnp.floor((centers[..., 0] + 1) / 2 * map_size), 0,
+                  map_size - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor((centers[..., 1] + 1) / 2 * map_size), 0,
+                  map_size - 1).astype(jnp.int32)
+    person_inds = cy * map_size + cx
+    params_pred = sample_maps_at(params_maps, person_inds)
     out = unpack_params(params_pred, cfg.cam_scale_base)
 
     flat = lambda a: a.reshape(B * P, *a.shape[2:])
@@ -119,7 +133,7 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
 
     loss_dict = {
         "centermap": cfg.centermap_weight * losses.focal_heatmap_loss(
-            center_maps[..., 0], batch["centermap_gt"]),
+            center_maps[..., 0], centermap_gt),
         "kp2d": cfg.kp2d_weight * losses.kp2d_l2_loss(
             flat(batch["kp2d_gt"]), pj2d[:, :54], w),
         "mpjpe": cfg.mpjpe_weight * losses.mpjpe_loss(
@@ -157,20 +171,13 @@ def make_synthetic_batch(rng: jax.Array, batch_size: int, num_person: int = 4,
     """Random well-formed training batch (for tests, dryruns, benchmarks)."""
     ks = jax.random.split(rng, 8)
     B, P = batch_size, num_person
-    map_size = input_size // 8
-    inds = jax.random.randint(ks[1], (B, P), 0, map_size * map_size)
-    cx = ((inds % map_size).astype(jnp.float32) / map_size) * 2.0 - 1.0
-    cy = ((inds // map_size).astype(jnp.float32) / map_size) * 2.0 - 1.0
-    from romp_tpu.train.centermap_gt import generate_centermap, person_radius
     mask = jnp.ones((B, P), bool)
-    radii = person_radius(jnp.full((B, P, 2), 0.5), map_size)
-    centermap = generate_centermap(
-        jnp.stack([cx, cy], -1), radii, mask, map_size)
     return {
         "image": jax.random.uniform(ks[0], (B, input_size, input_size, 3),
                                     jnp.float32, 0.0, 255.0),
-        "centermap_gt": centermap,
-        "person_inds": inds.astype(jnp.int32),
+        "person_centers": jax.random.uniform(ks[1], (B, P, 2), jnp.float32,
+                                             -0.9, 0.9),
+        "person_bbox_hw": jnp.full((B, P, 2), 0.5),
         "person_mask": mask,
         "kp2d_gt": jax.random.uniform(ks[2], (B, P, 54, 2), jnp.float32,
                                       -1.0, 1.0),
