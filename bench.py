@@ -33,20 +33,26 @@ def main():
     smpl = SmplModel.from_assets(synthetic_assets(seed=0))
     cfg = RompConfig(max_person=8, compute_dtype="bfloat16", calc_smpl=True)
 
-    fn = jax.jit(lambda p, im: romp_inference(p, smpl, im, cfg))
+    # The jitted step returns a scalar checksum over every output so a tiny
+    # host fetch forces full execution each iteration (block_until_ready is
+    # not a reliable barrier on the remote-tunneled TPU platform here).
+    @jax.jit
+    def fn(p, im):
+        out = romp_inference(p, smpl, im, cfg)
+        chk = sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+        return out, chk
+
     rng = np.random.RandomState(0)
     images = jnp.asarray(
         rng.rand(batch, 512, 512, 3).astype(np.float32) * 255.0)
 
-    out = fn(params, images)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        jax.block_until_ready(fn(params, images))
+    for _ in range(warmup):
+        float(fn(params, images)[1])
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, images))
+        float(fn(params, images)[1])
         times.append(time.perf_counter() - t0)
 
     times = np.asarray(times)

@@ -128,36 +128,45 @@ def smpl_forward(model: SmplModel, betas: jax.Array, pose: jax.Array,
     V = model.v_template.shape[0]
     J = model.num_joints
 
-    # 1. Shape blend shapes: one (B,NB)x(NB,V*3) matmul.
-    v_shaped = model.v_template + (
-        betas @ model.shapedirs.T).reshape(B, V, 3)
+    # TPU layout note: all V-sized intermediates keep V as the TRAILING dim
+    # (6890 -> one padded lane tile) — a (B, V, 3) or (B, V, 4, 4) layout
+    # would pad the 3/4-wide minor dims to 128 lanes and blow up memory.
 
-    # 2. Rest-pose joints.
-    joints_rest = jnp.einsum("jv,bvk->bjk", model.J_regressor, v_shaped)
+    # 1. Shape blend shapes: one (B,NB)x(NB,V*3) matmul, kept flat.
+    v_shaped_flat = model.v_template.reshape(-1) + betas @ model.shapedirs.T
 
-    # 3. Pose blend shapes.
+    # 2. Rest-pose joints (tiny output; contraction over V).
+    vsT = v_shaped_flat.reshape(B, V, 3).transpose(0, 2, 1)   # (B, 3, V)
+    joints_rest = jnp.einsum("bcv,jv->bjc", vsT, model.J_regressor)
+
+    # 3. Pose blend shapes (flat (B,207)x(207,V*3) matmul).
     rot_mats = axis_angle_to_matrix(pose.reshape(B, J, 3))
     ident = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feature = (rot_mats[:, 1:] - ident).reshape(B, (J - 1) * 9)
-    v_posed = v_shaped + (pose_feature @ model.posedirs).reshape(B, V, 3)
+    v_posed_T = (v_shaped_flat + pose_feature @ model.posedirs
+                 ).reshape(B, V, 3).transpose(0, 2, 1)        # (B, 3, V)
 
-    # 4. Kinematic chain.
+    # 4. Kinematic chain (tiny tensors).
     posed_joints, A = _rigid_chain(rot_mats, joints_rest, model.parents)
 
-    # 5. Skinning: per-vertex transform = weights @ per-joint transforms.
-    T = jnp.einsum(
-        "vj,bjk->bvk", model.lbs_weights, A.reshape(B, J, 16)
-    ).reshape(B, V, 4, 4)
-    verts = (
-        jnp.einsum("bvmn,bvn->bvm", T[:, :, :3, :3], v_posed)
-        + T[:, :, :3, 3]
-    )
+    # 5. Skinning: per-vertex transforms as 16 channels over V
+    #    ((B,16,J)x(J,V) matmul), then the homogeneous apply elementwise.
+    A16 = A.reshape(B, J, 16).transpose(0, 2, 1)              # (B, 16, J)
+    T16 = jnp.einsum("bkj,vj->bkv", A16, model.lbs_weights)   # (B, 16, V)
+    verts_T = jnp.stack([
+        T16[:, 4 * m + 0] * v_posed_T[:, 0]
+        + T16[:, 4 * m + 1] * v_posed_T[:, 1]
+        + T16[:, 4 * m + 2] * v_posed_T[:, 2]
+        + T16[:, 4 * m + 3]
+        for m in range(3)
+    ], axis=1)                                                # (B, 3, V)
 
-    # 6. Extended joint set.
-    extra21 = verts[:, model.extra_joints_idxs]
-    extra9 = jnp.einsum("jv,bvk->bjk", model.J_regressor_extra9, verts)
-    h36m17 = jnp.einsum("jv,bvk->bjk", model.J_regressor_h36m17, verts)
+    # 6. Extended joint set (gathers/contractions over V, tiny outputs).
+    extra21 = verts_T[:, :, model.extra_joints_idxs].transpose(0, 2, 1)
+    extra9 = jnp.einsum("bcv,jv->bjc", verts_T, model.J_regressor_extra9)
+    h36m17 = jnp.einsum("bcv,jv->bjc", verts_T, model.J_regressor_h36m17)
     joints54 = jnp.concatenate([posed_joints, extra21, extra9, h36m17], axis=1)
+    verts = verts_T.transpose(0, 2, 1)                        # (B, V, 3)
 
     if root_align:
         root = joints54[:, 45:47].mean(axis=1, keepdims=True)
