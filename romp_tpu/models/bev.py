@@ -148,8 +148,10 @@ def bev_regress_params(store: ParamStore, maps: BevMaps,
     flat_cam = maps.cam_maps_3d.reshape(B, D * H * W, 3)
     zyx = det.zyx.astype(jnp.int32)
     flat3d = (zyx[..., 0] * H + zyx[..., 1]) * W + zyx[..., 2]
+    flat3d = jnp.clip(flat3d, 0, D * H * W - 1)
     cams = jnp.take_along_axis(
-        flat_cam, flat3d[..., None].astype(jnp.int32), axis=1)  # (B, K, 3)
+        flat_cam, flat3d[..., None].astype(jnp.int32), axis=1,
+        mode="clip")  # (B, K, 3)
 
     # cam -> (cz, cy, cx) on the 128 map, clamped to [1, 127].
     cz = cam_to_depth_bin(cams[..., 0], anchors)

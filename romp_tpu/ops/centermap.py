@@ -104,6 +104,6 @@ def sample_maps_at(maps: jax.Array, flat_inds: jax.Array) -> jax.Array:
     """
     B, H, W, C = maps.shape
     flat = maps.reshape(B, H * W, C)
-    idx = flat_inds[..., None].astype(jnp.int32)
+    idx = jnp.clip(flat_inds[..., None].astype(jnp.int32), 0, H * W - 1)
     return jnp.take_along_axis(flat, jnp.broadcast_to(
-        idx, (*flat_inds.shape, C)), axis=1)
+        idx, (*flat_inds.shape, C)), axis=1, mode="clip")

@@ -61,8 +61,9 @@ def _sample3d(maps: jax.Array, zyx: jax.Array) -> jax.Array:
     T, D, H, W, C = maps.shape
     flat = maps.reshape(T, D * H * W, C)
     idx = (zyx[..., 0] * H + zyx[..., 1]) * W + zyx[..., 2]
+    idx = jnp.clip(idx, 0, D * H * W - 1)
     return jnp.take_along_axis(
-        flat, idx[..., None].astype(jnp.int32), axis=1)
+        flat, idx[..., None].astype(jnp.int32), axis=1, mode="clip")
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

@@ -37,9 +37,13 @@ def relative_depth_loss(pred_depths: jax.Array, depth_ids: jax.Array,
     closer = pair_valid & (did < 0) & ((dd - did * dist_thresh) > 0)
     farther = pair_valid & (did > 0) & ((dd - did * dist_thresh) < 0)
 
-    loss = (jnp.where(eq, dd ** 2, 0.0)
-            + jnp.where(closer, jnp.log1p(jnp.exp(dd)), 0.0)
-            + jnp.where(farther, jnp.log1p(jnp.exp(-dd)), 0.0))
+    # softplus is the numerically-stable log(1+exp(.)); clip keeps extreme
+    # (mis-)predicted depths from producing inf that would leak through the
+    # unselected jnp.where branch.
+    ddc = jnp.clip(dd, -50.0, 50.0)
+    loss = (jnp.where(eq, ddc ** 2, 0.0)
+            + jnp.where(closer, jax.nn.softplus(ddc), 0.0)
+            + jnp.where(farther, jax.nn.softplus(-ddc), 0.0))
     n = jnp.sum(eq | closer | farther)
     return jnp.sum(loss) / (n + 1e-6)
 
