@@ -33,6 +33,12 @@ def _wmean(x: jax.Array, w: jax.Array, eps: float = 1e-6) -> jax.Array:
     return jnp.sum(x * w) / (jnp.sum(w) + eps)
 
 
+def _safe_norm(x: jax.Array, axis: int = -1) -> jax.Array:
+    """norm with a finite gradient at exactly-zero differences (masked
+    entries would otherwise backprop NaN through sqrt'(0))."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
+
 def focal_heatmap_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
     """CenterNet focal loss. pred/gt: (B, ..., H, W)-like, any rank >= 3;
     reduces all non-batch axes, normalizes by per-image positive count.
@@ -62,7 +68,7 @@ def kp2d_l2_loss(gt: jax.Array, pred: jax.Array,
     convention: invalid kps set to -2); pred: (N, J, 2); person_w: (N,).
     """
     vis = (gt > -1.99).all(axis=-1).astype(pred.dtype)  # (N, J)
-    d = jnp.linalg.norm(pred - gt, axis=-1)             # (N, J)
+    d = _safe_norm(pred - gt)                           # (N, J)
     per_person = jnp.sum(d * vis, axis=-1) / (jnp.sum(vis, axis=-1) + 1e-6)
     return _wmean(per_person, person_w)
 
@@ -78,7 +84,7 @@ def mpjpe_loss(gt: jax.Array, pred: jax.Array, person_w: jax.Array,
 
     valid_j = (gt != -2.0).any(axis=-1).astype(pred.dtype)
     ga, pa = _align(gt), _align(pred)
-    d = jnp.linalg.norm(pa - ga, axis=-1)
+    d = _safe_norm(pa - ga)
     per_person = jnp.sum(d * valid_j, axis=-1) / (jnp.sum(valid_j, -1) + 1e-6)
     return _wmean(per_person, person_w)
 
@@ -113,7 +119,7 @@ def pampjpe_loss(gt: jax.Array, pred: jax.Array,
     """Procrustes-aligned MPJPE over the first 24 joints (all assumed valid
     for persons with person_w > 0)."""
     aligned = procrustes_align(gt, pred)
-    d = jnp.linalg.norm(aligned - gt, axis=-1).mean(axis=-1)
+    d = _safe_norm(aligned - gt).mean(axis=-1)
     return _wmean(d, person_w)
 
 
