@@ -149,17 +149,13 @@ def smpl_forward(model: SmplModel, betas: jax.Array, pose: jax.Array,
     # 4. Kinematic chain (tiny tensors).
     posed_joints, A = _rigid_chain(rot_mats, joints_rest, model.parents)
 
-    # 5. Skinning: per-vertex transforms as 16 channels over V
-    #    ((B,16,J)x(J,V) matmul), then the homogeneous apply elementwise.
+    # 5. Skinning: per-vertex transforms as 16 channels over V, fused with
+    #    the homogeneous apply (Pallas kernel on TPU keeps the (B,16,V)
+    #    transform block in VMEM; XLA fallback elsewhere).
+    from romp_tpu.ops.pallas_lbs import fused_skinning
+
     A16 = A.reshape(B, J, 16).transpose(0, 2, 1)              # (B, 16, J)
-    T16 = jnp.einsum("bkj,vj->bkv", A16, model.lbs_weights)   # (B, 16, V)
-    verts_T = jnp.stack([
-        T16[:, 4 * m + 0] * v_posed_T[:, 0]
-        + T16[:, 4 * m + 1] * v_posed_T[:, 1]
-        + T16[:, 4 * m + 2] * v_posed_T[:, 2]
-        + T16[:, 4 * m + 3]
-        for m in range(3)
-    ], axis=1)                                                # (B, 3, V)
+    verts_T = fused_skinning(A16, model.lbs_weights, v_posed_T)  # (B, 3, V)
 
     # 6. Extended joint set (gathers/contractions over V, tiny outputs).
     extra21 = verts_T[:, :, model.extra_joints_idxs].transpose(0, 2, 1)
