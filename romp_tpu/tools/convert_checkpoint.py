@@ -17,7 +17,8 @@ def main(input_args=None) -> int:
     parser.add_argument("input", type=str, help="torch checkpoint path")
     parser.add_argument("output", type=str, help="output .npz path")
     parser.add_argument("--arch", type=str, default="romp",
-                        choices=["romp", "romp_resnet", "bev", "none"],
+                        choices=["romp", "romp_resnet", "bev", "trace",
+                                 "raft", "none"],
                         help="architecture to validate coverage against")
     args = parser.parse_args(input_args)
 
@@ -38,10 +39,21 @@ def main(input_args=None) -> int:
 
             init = init_romp_params(jax.random.PRNGKey(0),
                                     backbone="resnet50")
-        else:
+        elif args.arch == "bev":
             from romp_tpu.models.bev import init_bev_params
 
             init = init_bev_params(jax.random.PRNGKey(0))
+        elif args.arch == "trace":
+            from romp_tpu.models.trace import init_trace_params
+
+            init = init_trace_params(jax.random.PRNGKey(0), clip_length=2)
+        else:
+            from romp_tpu.models.raft import (
+                filter_raft_state_dict, init_raft_params,
+            )
+
+            params = filter_raft_state_dict(params)
+            init = init_raft_params(jax.random.PRNGKey(0))
         check_params_match(params, init)
         print(f"coverage check OK ({len(params)} tensors)")
 

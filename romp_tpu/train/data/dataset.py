@@ -248,6 +248,78 @@ def from_pw3d_sequences(seq_dir: str, image_dir: str,
     return records
 
 
+def from_crowdpose_json(json_path: str,
+                        min_kps: int = 2) -> List[ImageAnnotation]:
+    """CrowdPose json (COCO-style, 14-joint skeleton) -> records
+    (`romp/lib/dataset/crowdpose.py` uses Crowdpose_14 -> SMPL54)."""
+    import json
+
+    CROWDPOSE_14 = {
+        "L_Shoulder": 0, "R_Shoulder": 1, "L_Elbow": 2, "R_Elbow": 3,
+        "L_Wrist": 4, "R_Wrist": 5, "L_Hip": 6, "R_Hip": 7, "L_Knee": 8,
+        "R_Knee": 9, "L_Ankle": 10, "R_Ankle": 11, "Head_top": 12,
+        "Neck_LSP": 13}
+    with open(json_path) as f:
+        doc = json.load(f)
+    images = {im["id"]: im["file_name"] for im in doc["images"]}
+    mapping = joint_mapping(CROWDPOSE_14, SMPL_ALL_54)
+    per_image: Dict[int, List[np.ndarray]] = {}
+    for ann in doc["annotations"]:
+        kp = np.asarray(ann["keypoints"], np.float32).reshape(14, 3)
+        if (kp[:, 2] > 0).sum() < min_kps:
+            continue
+        kp2d = kp[:, :2].copy()
+        kp2d[kp[:, 2] < 1] = INVALID
+        per_image.setdefault(ann["image_id"], []).append(kp2d)
+    return [ImageAnnotation(images[i], map_joints(np.stack(k), mapping))
+            for i, k in per_image.items()]
+
+
+def from_mpii_json(json_path: str) -> List[ImageAnnotation]:
+    """MPII annotations in the common converted-json format
+    ([{image, joints (16, 2), joints_vis (16,)}...]) -> records."""
+    import json
+
+    with open(json_path) as f:
+        doc = json.load(f)
+    mapping = joint_mapping(FORMATS["mpii16"], SMPL_ALL_54)
+    per_image: Dict[str, List[np.ndarray]] = {}
+    for ann in doc:
+        kp2d = np.asarray(ann["joints"], np.float32)
+        vis = np.asarray(ann.get("joints_vis", np.ones(16)), np.float32)
+        kp2d[vis < 1] = INVALID
+        per_image.setdefault(ann["image"], []).append(kp2d)
+    return [ImageAnnotation(name, map_joints(np.stack(k), mapping))
+            for name, k in per_image.items()]
+
+
+def from_h36m_npz(npz_path: str, image_root: str = "",
+                  subsample: int = 5) -> List[ImageAnnotation]:
+    """H36M preprocessed npz ({imgname, part (N,17|54,2|3), S (N,17,4) 3D}
+    — the common SPIN/ROMP preprocessing layout) -> records."""
+    data = np.load(npz_path, allow_pickle=True)
+    names = data["imgname"][::subsample]
+    kp2d_all = data["part"][::subsample].astype(np.float32)
+    mapping = joint_mapping(FORMATS["h36m17"], SMPL_ALL_54)
+    records = []
+    kp3d_all = data["S"][::subsample].astype(np.float32) \
+        if "S" in data.files else None
+    for i, name in enumerate(names):
+        kp2d = kp2d_all[i][..., :2]
+        if kp2d.ndim == 2:
+            kp2d = kp2d[None]
+        kp2d54 = map_joints(kp2d[:, :17], mapping)
+        kp3d54 = None
+        if kp3d_all is not None:
+            k3 = kp3d_all[i][..., :3]
+            if k3.ndim == 2:
+                k3 = k3[None]
+            kp3d54 = map_joints(k3[:, :17], mapping)
+        records.append(ImageAnnotation(
+            osp.join(image_root, str(name)), kp2d54, kp3ds=kp3d54))
+    return records
+
+
 def from_packed_npz(npz_path: str, image_root: str = "",
                     src_format: str = "smpl54") -> List[ImageAnnotation]:
     """Generic loader for reference-style preprocessed annotation npz files

@@ -141,3 +141,47 @@ def test_coco_json_converter(tmp_path):
     nose = recs[0].kp2ds[0, SMPL_ALL_54["Nose"]]
     np.testing.assert_array_equal(nose, [0, 1])
     assert (recs[0].kp2ds[0, SMPL_ALL_54["L_Hip"]] == INVALID).all()
+
+
+def test_crowdpose_json_converter(tmp_path):
+    from romp_tpu.train.data.dataset import from_crowdpose_json
+
+    kp = np.zeros((14, 3))
+    kp[:4, :2] = np.arange(8).reshape(4, 2)
+    kp[:4, 2] = 2
+    doc = {"images": [{"id": 5, "file_name": "c.jpg"}],
+           "annotations": [{"image_id": 5,
+                            "keypoints": kp.flatten().tolist()}]}
+    p = tmp_path / "cp.json"
+    p.write_text(json.dumps(doc))
+    recs = from_crowdpose_json(str(p))
+    assert len(recs) == 1
+    np.testing.assert_array_equal(
+        recs[0].kp2ds[0, SMPL_ALL_54["L_Shoulder"]], [0, 1])
+
+
+def test_mpii_json_converter(tmp_path):
+    from romp_tpu.train.data.dataset import from_mpii_json
+
+    doc = [{"image": "m.jpg",
+            "joints": np.arange(32).reshape(16, 2).tolist(),
+            "joints_vis": [1] * 16}]
+    p = tmp_path / "mpii.json"
+    p.write_text(json.dumps(doc))
+    recs = from_mpii_json(str(p))
+    np.testing.assert_array_equal(
+        recs[0].kp2ds[0, SMPL_ALL_54["R_Ankle"]], [0, 1])
+
+
+def test_h36m_npz_converter(tmp_path):
+    from romp_tpu.train.data.dataset import from_h36m_npz
+
+    rng = np.random.RandomState(0)
+    npz = tmp_path / "h36m.npz"
+    np.savez(npz, imgname=np.array(["a.jpg", "b.jpg"]),
+             part=rng.rand(2, 17, 3).astype(np.float32),
+             S=rng.rand(2, 17, 4).astype(np.float32))
+    recs = from_h36m_npz(str(npz), subsample=1)
+    assert len(recs) == 2
+    assert recs[0].kp3ds is not None
+    assert recs[0].kp2ds.shape == (1, 54, 2)
