@@ -127,3 +127,19 @@ def render_results(renderer, res: Dict[str, np.ndarray], image: np.ndarray,
             panels.append(render_mesh_overlay(renderer, vr, faces, bg,
                                               colors))
     return np.concatenate(panels, axis=1) if len(panels) > 1 else panels[0]
+
+
+def render_rotating_mesh(renderer, verts_cam: np.ndarray, faces: np.ndarray,
+                         size: int = 512, n_frames: int = 72,
+                         colors: Optional[np.ndarray] = None
+                         ) -> List[np.ndarray]:
+    """Turntable frames of the reconstructed meshes on a white background
+    (`vis_human/main.py:101` rotating-mesh video /
+    `vis_utils.py:106` rendering_mesh_rotating_view)."""
+    frames = []
+    for i in range(n_frames):
+        vr = rotate_view_weak_perspective(
+            verts_cam, rx=0, ry=360.0 * i / n_frames, img_shape=(size, size))
+        bg = np.full((size, size, 3), 255, np.uint8)
+        frames.append(render_mesh_overlay(renderer, vr, faces, bg, colors))
+    return frames
