@@ -41,12 +41,19 @@ class ParamStore:
     def __init__(self, params: Optional[Params] = None,
                  rng: Optional[jax.Array] = None,
                  train: bool = False,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 act_dtype=None):
         self.init_mode = params is None
         self.params: Params = {} if params is None else params
         self.rng = rng
         self.train = train
         self.compute_dtype = compute_dtype
+        # act_dtype: dtype activations are KEPT in between layers. Defaults
+        # to f32 (conv accumulations returned in f32, BN in f32 — the parity
+        # path). Setting bfloat16 at inference folds BN to a precomputed
+        # scale/shift applied in bf16, halving activation HBM traffic (the
+        # backbone is bandwidth-bound at C=32).
+        self.act_dtype = act_dtype or jnp.float32
         self.stats_updates: Params = {}
 
     def _next_rng(self) -> jax.Array:
@@ -101,11 +108,11 @@ def conv2d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
         window_strides=(stride, stride),
         padding=[(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=store.act_dtype,
     )
     if bias:
         b = store.get(f"{prefix}.bias", (out_ch,), _zeros)
-        y = y + b
+        y = y + b.astype(y.dtype)
     return y
 
 
@@ -136,6 +143,11 @@ def batch_norm(store: ParamStore, prefix: str, x: jax.Array) -> jax.Array:
         use_mean, use_var = mean, var
 
     inv = jax.lax.rsqrt(use_var + BN_EPS) * scale
+    if store.act_dtype != jnp.float32 and not store.train:
+        # inference fast path: folded scale/shift applied in the activation
+        # dtype (params stay f32; the tiny per-channel fold runs in f32)
+        shift = offset - use_mean * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
     return (x.astype(jnp.float32) - use_mean) * inv + offset
 
 
