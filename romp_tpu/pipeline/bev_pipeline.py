@@ -37,6 +37,7 @@ class BevConfig:
     relative_scale_thresh: float = 3.0
     outlier_scale_thresh: float = 0.25
     compute_dtype: str = "float32"
+    act_dtype: str = "float32"     # bfloat16 = folded-BN fast path
     calc_smpl: bool = True
 
 
@@ -119,7 +120,8 @@ def bev_inference(params: Dict[str, jax.Array], smpl_adult: SmplModel,
                   ) -> Dict[str, jax.Array]:
     """Jittable BEV core. images: (B, S, S, 3) RGB [0, 255]."""
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    store = ParamStore(params, compute_dtype=dt)
+    at = jnp.bfloat16 if cfg.act_dtype == "bfloat16" else jnp.float32
+    store = ParamStore(params, compute_dtype=dt, act_dtype=at)
     anchors_np = cam3dmap_anchor()
     anchors = jnp.asarray(anchors_np)
     coord3d = jnp.asarray(
@@ -128,11 +130,12 @@ def bev_inference(params: Dict[str, jax.Array], smpl_adult: SmplModel,
     maps = bev_forward_maps(store, images, anchors, coord3d)
     det = parse_centermap3d(maps.center_maps_3d, cfg.max_person,
                             cfg.conf_thresh)
-    params_pred = bev_regress_params(store, maps, det, anchors)
+    params_pred = bev_regress_params(store, maps, det, anchors
+                                     ).astype(jnp.float32)
     out = unpack_bev_params(params_pred)
     out.update({
         "mask": det.mask,
-        "center_confs": det.scores,
+        "center_confs": det.scores.astype(jnp.float32),
         "pred_czyxs": det.zyx,
         "params_pred": params_pred,
         "cam_trans": bev_cam_to_trans(out["cam"]),
