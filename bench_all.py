@@ -1,0 +1,107 @@
+"""Extended benchmark report: ROMP / BEV / TRACE throughput on one chip.
+
+bench.py prints the single driver-consumed line (ROMP HRNet-32); this tool
+reports the whole model zoo (JSON lines, one per config).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _measure(fn, iters=8, warmup=2):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    rng = np.random.RandomState(0)
+    results = []
+
+    def checksum(out):
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+
+    # ---- ROMP (hrnet32 / resnet50) ----
+    from romp_tpu.models.romp import init_romp_params
+    from romp_tpu.pipeline.romp_pipeline import RompConfig, romp_inference
+
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    for backbone, batch in (("hrnet32", 512), ("resnet50", 256)):
+        params = init_romp_params(jax.random.PRNGKey(0), backbone=backbone)
+        cfg = RompConfig(max_person=8, compute_dtype="bfloat16",
+                         act_dtype="bfloat16", backbone=backbone)
+        images = jnp.asarray(
+            rng.rand(batch, 512, 512, 3).astype(np.float32) * 255.0)
+        f = jax.jit(lambda p, im: checksum(romp_inference(p, smpl, im, cfg)))
+        t = _measure(lambda: float(f(params, images)))
+        results.append({"model": f"romp_{backbone}", "batch": batch,
+                        "img_s": round(batch / t, 1),
+                        "p50_batch_ms": round(t * 1e3, 1)})
+        print(json.dumps(results[-1]), flush=True)
+
+    # ---- BEV ----
+    from romp_tpu.models.bev import init_bev_params
+    from romp_tpu.pipeline.bev_pipeline import BevConfig, bev_inference
+
+    adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
+    baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
+    params = init_bev_params(jax.random.PRNGKey(0))
+    cfg = BevConfig(max_person=8, compute_dtype="bfloat16",
+                    act_dtype="bfloat16")
+    batch = 128
+    images = jnp.asarray(
+        rng.rand(batch, 512, 512, 3).astype(np.float32) * 255.0)
+    f = jax.jit(lambda p, im: checksum(
+        bev_inference(p, adult, baby, im, cfg)))
+    t = _measure(lambda: float(f(params, images)))
+    results.append({"model": "bev_hrnet32", "batch": batch,
+                    "img_s": round(batch / t, 1),
+                    "p50_batch_ms": round(t * 1e3, 1)})
+    print(json.dumps(results[-1]), flush=True)
+
+    # ---- TRACE (full clip pipeline incl. host tracking) ----
+    from romp_tpu.models.romp import init_romp_params as _irp
+    from romp_tpu.models.trace import init_trace_params
+    from romp_tpu.pipeline.trace_pipeline import TraceConfig, TracePipeline
+    from romp_tpu.pipeline.trace_tracking import SeqConfig
+
+    tparams = init_trace_params(jax.random.PRNGKey(0), clip_length=8)
+    tparams.update({k: v for k, v in _irp(jax.random.PRNGKey(1)).items()
+                    if k.startswith("backbone.")})
+    cfg = TraceConfig(temp_clip_length=8, max_person=8, conf_thresh=-1e9,
+                      compute_dtype="bfloat16", act_dtype="bfloat16")
+    sc = SeqConfig(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
+                   tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
+    pipe = TracePipeline(tparams, adult, baby, cfg, sc)
+    frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
+    pipe.process_clip(frames)
+
+    def run_clip():
+        pipe.process_clip(frames)
+
+    t = _measure(run_clip, iters=5, warmup=1)
+    results.append({"model": "trace_clip8", "batch": 8,
+                    "img_s": round(8 / t, 1),
+                    "p50_clip_ms": round(t * 1e3, 1)})
+    print(json.dumps(results[-1]), flush=True)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_ALL.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ class TraceConfig:
     max_tracks: int = 16
     conf_thresh: float = 0.05
     compute_dtype: str = "float32"
+    act_dtype: str = "float32"
 
 
 def _sample3d(maps: jax.Array, zyx: jax.Array) -> jax.Array:
@@ -66,19 +67,25 @@ def _sample3d(maps: jax.Array, zyx: jax.Array) -> jax.Array:
         flat, idx[..., None].astype(jnp.int32), axis=1, mode="clip")
 
 
+def _store(params, cfg: TraceConfig) -> ParamStore:
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    at = jnp.bfloat16 if cfg.act_dtype == "bfloat16" else jnp.float32
+    return ParamStore(params, compute_dtype=dt, act_dtype=at)
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def trace_extract_features(params, images, _unused, cfg: TraceConfig):
     """(T, 512, 512, 3) RGB -> (T, 128, 128, 32) frozen-backbone features."""
-    store = ParamStore(params)
+    store = _store(params, cfg)
     x = (images / 255.0) * 2.0 - 1.0
-    return hrnet_w32(store, x, prefix="backbone")
+    return hrnet_w32(store, x, prefix="backbone").astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def trace_maps_and_detect(params, feature_maps, flows, hidden,
                           cfg: TraceConfig):
     """Device stage 1: maps + fixed-K per-frame detections + gathers."""
-    store = ParamStore(params)
+    store = _store(params, cfg)
     maps, hidden = trace_forward_maps(
         store, feature_maps, flows, hidden,
         temp_clip_length=cfg.temp_clip_length)
@@ -93,7 +100,9 @@ def trace_maps_and_detect(params, feature_maps, flows, hidden,
     init_cams = trace_regress_trans(
         store, cams.reshape(-1, 1, 3), feats.reshape(-1, 1, HC)
     ).reshape(cams.shape)
-    return maps, hidden, det, cams, motions, feats, init_cams
+    f32 = lambda x: x.astype(jnp.float32)
+    return (maps, hidden, det, f32(cams), f32(motions), f32(feats),
+            f32(init_cams))
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -105,15 +114,17 @@ def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
     traj_yx: (N, T, 2) int (y, x). Returns params_pred (N, T, 159), normed
     cams (N, T, 3), cam motions (N, T, 3), cam rot maps at traj (N, T, 6).
     """
-    store = ParamStore(params)
+    store = _store(params, cfg)
     params_pred = trace_regress_trajectory(store, traj_feats)
     normed_cams = trace_regress_trans(store, cams_init_traj, traj_feats)
     N, T = traj_yx.shape[:2]
     yx_flat = (traj_yx[..., 0] * OUTMAP + traj_yx[..., 1]).T  # (T, N)
     cam_motion = sample_maps_at(maps.cam_motion_maps, yx_flat)  # (T, N, 3)
     cam_rot = sample_maps_at(maps.cam_rot_maps, yx_flat)        # (T, N, 6)
-    return (params_pred, normed_cams, cam_motion.transpose(1, 0, 2),
-            cam_rot.transpose(1, 0, 2))
+    f32 = lambda x: x.astype(jnp.float32)
+    return (f32(params_pred), f32(normed_cams),
+            f32(cam_motion).transpose(1, 0, 2),
+            f32(cam_rot).transpose(1, 0, 2))
 
 
 class TracePipeline:
