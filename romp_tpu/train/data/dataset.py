@@ -38,6 +38,10 @@ class ImageAnnotation:
     kp3d_mask: Optional[np.ndarray] = None   # (P,) bool
     pose_mask: Optional[np.ndarray] = None
     betas_mask: Optional[np.ndarray] = None
+    # BEV relative supervision (Relative Human / AGORA):
+    depth_ids: Optional[np.ndarray] = None    # (P,) int ordinal layer, -1
+    age_gts: Optional[np.ndarray] = None      # (P,) {0..3}, -1 unannotated
+    kid_offsets: Optional[np.ndarray] = None  # (P,) [0,1], -1 unannotated
 
     @property
     def num_person(self) -> int:
@@ -120,8 +124,17 @@ class SingleDataset:
                 out[:n] = np.asarray(m[:n], bool) & person_ok
             return out
 
+        def _opt_per_person(vals, fill=-1.0):
+            out = np.full(P, fill, np.float32)
+            if vals is not None:
+                out[:n] = np.asarray(vals[:n], np.float32)
+            return out
+
         return {
             "image": image,
+            "depth_ids": _opt_per_person(rec.depth_ids),
+            "age_gts": _opt_per_person(rec.age_gts),
+            "kid_offsets_gt": _opt_per_person(rec.kid_offsets),
             "person_centers": centers,
             "person_bbox_hw": bbox_hw,
             "person_mask": mask,
@@ -317,6 +330,69 @@ def from_h36m_npz(npz_path: str, image_root: str = "",
             kp3d54 = map_joints(k3[:, :17], mapping)
         records.append(ImageAnnotation(
             osp.join(image_root, str(name)), kp2d54, kp3ds=kp3d54))
+    return records
+
+
+def from_relative_human_npz(npz_path: str, image_root: str = "",
+                            src_format: str = "smpl54"
+                            ) -> List[ImageAnnotation]:
+    """Relative Human annots npz ({img_name: [person dicts with kp2d, age,
+    depth_id, ...]}, `romp/lib/dataset/relative_human.py:22-89`) -> records
+    with ordinal depth layers + age groups."""
+    annots = np.load(npz_path, allow_pickle=True)["annots"][()]
+    mapping = joint_mapping(FORMATS[src_format], SMPL_ALL_54)
+    records = []
+    for img_name, persons in annots.items():
+        kp2ds, depth_ids, ages = [], [], []
+        for a in persons:
+            kp = np.asarray(a["kp2d"], np.float32)
+            kp2d = kp[..., :2].copy()
+            if kp.shape[-1] >= 3:
+                kp2d[kp[..., 2] <= 0] = INVALID
+            kp2ds.append(kp2d)
+            depth_ids.append(int(a.get("depth_id", -1)))
+            ages.append(int(a.get("age", -1)))
+        if not kp2ds:
+            continue
+        records.append(ImageAnnotation(
+            osp.join(image_root, str(img_name)),
+            map_joints(np.stack(kp2ds), mapping),
+            depth_ids=np.asarray(depth_ids),
+            age_gts=np.asarray(ages)))
+    return records
+
+
+def from_agora_npz(npz_path: str, image_root: str = "",
+                   src_format: str = "smpl54") -> List[ImageAnnotation]:
+    """AGORA packed annots ({imgpath: [person dicts with kp2d/kp3d/
+    body_pose/betas]}, `romp/lib/dataset/agora.py:32-76`) -> records with
+    SMPL params and kid-shape offsets (11th beta)."""
+    annots = np.load(npz_path, allow_pickle=True)["annots"][()]
+    mapping = joint_mapping(FORMATS[src_format], SMPL_ALL_54)
+    records = []
+    for img_name, persons in annots.items():
+        kp2ds, kp3ds, poses, betas, kids = [], [], [], [], []
+        for a in persons:
+            if not a.get("isValid", True):
+                continue
+            kp2ds.append(np.asarray(a["kp2d"], np.float32)[..., :2])
+            kp3ds.append(np.asarray(a["kp3d"], np.float32)[..., :3])
+            b = np.asarray(a["betas"], np.float32).reshape(-1)
+            pose = np.concatenate([
+                np.asarray(a.get("global_orient", np.zeros(3)),
+                           np.float32).reshape(-1)[:3],
+                np.asarray(a["body_pose"], np.float32).reshape(-1)[:63]])
+            poses.append(pose)
+            betas.append(b[:10])
+            kids.append(float(b[10]) if b.shape[0] > 10 else -1.0)
+        if not kp2ds:
+            continue
+        records.append(ImageAnnotation(
+            osp.join(image_root, str(img_name)),
+            map_joints(np.stack(kp2ds), mapping),
+            kp3ds=map_joints(np.stack(kp3ds), mapping),
+            poses=np.stack(poses), betas=np.stack(betas),
+            kid_offsets=np.asarray(kids)))
     return records
 
 

@@ -185,3 +185,54 @@ def test_h36m_npz_converter(tmp_path):
     assert len(recs) == 2
     assert recs[0].kp3ds is not None
     assert recs[0].kp2ds.shape == (1, 54, 2)
+
+
+def test_relative_human_and_agora_converters(tmp_path):
+    from romp_tpu.train.data.dataset import (
+        from_agora_npz, from_relative_human_npz,
+    )
+
+    rng = np.random.RandomState(0)
+    rh = {"img1.jpg": [
+        {"kp2d": rng.rand(54, 3).astype(np.float32) * 100,
+         "age": 0, "depth_id": 2},
+        {"kp2d": rng.rand(54, 3).astype(np.float32) * 100,
+         "age": 3, "depth_id": 0}]}
+    p = tmp_path / "rh.npz"
+    np.savez(p, annots=rh)
+    recs = from_relative_human_npz(str(p))
+    assert recs[0].depth_ids.tolist() == [2, 0]
+    assert recs[0].age_gts.tolist() == [0, 3]
+
+    ag = {"a.png": [
+        {"kp2d": rng.rand(54, 2), "kp3d": rng.rand(54, 3),
+         "body_pose": rng.rand(63), "betas": rng.rand(11),
+         "global_orient": rng.rand(3), "isValid": True},
+        {"kp2d": rng.rand(54, 2), "kp3d": rng.rand(54, 3),
+         "body_pose": rng.rand(63), "betas": rng.rand(10),
+         "isValid": False}]}
+    p2 = tmp_path / "ag.npz"
+    np.savez(p2, annots=ag)
+    recs = from_agora_npz(str(p2))
+    assert recs[0].num_person == 1
+    assert recs[0].poses.shape == (1, 66)
+    assert recs[0].kid_offsets[0] >= 0
+
+
+def test_sample_emits_bev_keys(tmp_path):
+    from romp_tpu.train.data.dataset import ImageAnnotation, SingleDataset
+    from romp_tpu.train.data.augment import AugmentConfig
+
+    rng = np.random.RandomState(1)
+    p = str(tmp_path / "i.png")
+    cv2.imwrite(p, rng.randint(0, 255, (100, 100, 3), np.uint8))
+    rec = ImageAnnotation(p, rng.rand(2, 54, 2).astype(np.float32) * 90,
+                          depth_ids=np.array([1, 0]),
+                          age_gts=np.array([0, 3]),
+                          kid_offsets=np.array([0.1, 0.9]))
+    ds = SingleDataset([rec], "rh", AugmentConfig(input_size=64),
+                       num_person=4)
+    s = ds.get_sample(0, np.random.RandomState(0))
+    assert s["depth_ids"][:2].tolist() == [1.0, 0.0]
+    assert s["age_gts"][2] == -1.0
+    assert s["kid_offsets_gt"][1] == np.float32(0.9)
