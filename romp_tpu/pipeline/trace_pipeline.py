@@ -127,6 +127,37 @@ def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
             f32(cam_rot).transpose(1, 0, 2))
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def _trace_smpl_stage(params_pred, normed_cams, cam_rot, smpls,
+                      input_size: int):
+    """Final device stage, one jit: 6D->aa, SMPL+A, projection, world grots.
+
+    params_pred: (N, T, 159); normed_cams: (N, T, 3); cam_rot: (N, T, 6);
+    smpls: (adult, baby) SmplModel pytrees.
+    """
+    N, T = params_pred.shape[:2]
+    pose6d = params_pred[..., 6:138].reshape(N * T, -1)
+    thetas = jnp.concatenate([
+        rot6d_to_axis_angle(pose6d),
+        jnp.zeros((N * T, 6), params_pred.dtype)], axis=-1)
+    betas = params_pred[..., 138:149].reshape(N * T, 11)
+    verts, joints = smpla_forward(smpls[0], smpls[1], betas, thetas,
+                                  root_align=True)
+    cams = normed_cams.reshape(N * T, 3)
+    depth = 1.0 / (cams[:, 0] * TAN_FOV_HALF_TRACE_J + 1e-3)
+    xy = cams[:, jnp.asarray([2, 1])] * depth[:, None] * TAN_FOV_HALF_TRACE_J
+    cam_trans = jnp.concatenate([xy, depth[:, None]], axis=-1)
+    pj2d = perspective_projection(joints, cam_trans,
+                                  focal_length=FOCAL_TRACE,
+                                  img_size=input_size)
+    world_grots = rot6d_to_axis_angle(
+        (cam_rot + params_pred[..., 6:12]).reshape(N * T, 6))
+    return thetas, betas, verts, joints, cam_trans, pj2d, world_grots
+
+
+TAN_FOV_HALF_TRACE_J = float(np.tan(np.radians(25.0)))
+
+
 class TracePipeline:
     """Stateful sequence processor (one per video / signal)."""
 
@@ -225,24 +256,16 @@ class TracePipeline:
         world_cams = accumulate_world_cams(
             traj, normed_cams, np.asarray(cam_motion), self.memory,
             self.init_world_cams, self.seq_cfg)
-        world_grots_6d = np.asarray(cam_rot) + params_pred[..., 6:12]
 
-        # ---- device: SMPL + projection over all (N*T) entries ----
-        pose6d = params_pred[..., 6:132 + 6]  # cam grot + 21x6
-        thetas = np.asarray(rot6d_to_axis_angle(
-            jnp.asarray(pose6d.reshape(N * T, -1))))
-        thetas = np.concatenate([thetas, np.zeros((N * T, 6), np.float32)], 1)
-        betas = params_pred[..., 138:149].reshape(N * T, 11)
-        verts, joints = smpla_forward(
-            self.smpl_adult, self.smpl_baby, jnp.asarray(betas),
-            jnp.asarray(thetas), root_align=True)
-        cam_trans = trace_cam_to_trans(normed_cams.reshape(N * T, 3))
-        pj2d = perspective_projection(
-            joints, jnp.asarray(cam_trans.astype(np.float32)),
-            focal_length=FOCAL_TRACE, img_size=cfg.input_size)
-
-        world_grots = np.asarray(rot6d_to_axis_angle(
-            jnp.asarray(world_grots_6d.reshape(N * T, 6))))
+        # ---- device: SMPL + projection, ONE jitted call (eager op-by-op
+        # here costs seconds per clip on remote-tunneled devices) ----
+        thetas, betas, verts, joints, cam_trans, pj2d, world_grots = \
+            _trace_smpl_stage(
+                jnp.asarray(params_pred), jnp.asarray(normed_cams),
+                jnp.asarray(np.asarray(cam_rot)),
+                (self.smpl_adult, self.smpl_baby), cfg.input_size)
+        thetas, betas = np.asarray(thetas), np.asarray(betas)
+        cam_trans = np.asarray(cam_trans)
 
         return {
             "track_ids": np.repeat(traj.track_ids, T),
