@@ -63,6 +63,35 @@ def generate_centermap(centers: jax.Array, radii: jax.Array,
     return flat.reshape(B, map_size, map_size)
 
 
+def collision_aware_centers(centers: jax.Array, radii: jax.Array,
+                            mask: jax.Array,
+                            map_size: int = 64,
+                            collision_factor: float = 0.2) -> jax.Array:
+    """CAR (Collision-Aware Representation): push overlapping persons'
+    centers apart so each keeps a distinct heatmap peak
+    (`romp/lib/maps_utils/centermap.py:98-115`).
+
+    centers: (B, K, 2) normalized; radii: (B, K); mask: (B, K).
+    One repulsion pass over all pairs (the reference iterates annotated
+    occluder pairs; symmetric all-pairs is its masked superset).
+    """
+    d = centers[:, :, None] - centers[:, None, :]             # (B,K,K,2)
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-8)
+    least = (radii[:, :, None] + radii[:, None, :] + 1.0) \
+        / map_size * 2.0
+    pair = (mask[:, :, None] & mask[:, None, :]
+            & ~jnp.eye(mask.shape[1], dtype=bool)[None])
+    colliding = pair & (dist < least)
+    # offset along the connecting line, split between the two persons
+    push = jnp.abs((least - dist) / dist) * collision_factor
+    offset = jnp.where(colliding[..., None],
+                       d * push[..., None] * 0.5, 0.0).sum(axis=2)
+    out = jnp.clip(centers + offset, -1.0, 1.0)
+    out = jnp.where(out == -1.0, -0.96, out)
+    out = jnp.where(out == 1.0, 0.96, out)
+    return jnp.where(mask[..., None], out, centers)
+
+
 def generate_centermap3d(centers_zyx: jax.Array, mask: jax.Array,
                          map_size: int = 128, depth_size: int = 64,
                          radius: int = 3) -> jax.Array:

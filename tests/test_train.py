@@ -123,3 +123,20 @@ def test_train_step_runs_and_descends():
     for _ in range(3):
         s, m = step(s, batch)
     assert float(m["total"]) < float(m1["total"])
+
+
+def test_collision_aware_centers_separate_overlaps():
+    from romp_tpu.train.centermap_gt import collision_aware_centers
+
+    centers = jnp.asarray([[[0.0, 0.0], [0.02, 0.0], [0.9, 0.9]]])
+    radii = jnp.asarray([[4, 4, 4]], jnp.int32)
+    mask = jnp.ones((1, 3), bool)
+    out = np.asarray(collision_aware_centers(centers, radii, mask, 64))
+    d_before = 0.02
+    d_after = abs(out[0, 1, 0] - out[0, 0, 0])
+    assert d_after > d_before          # pushed apart
+    np.testing.assert_allclose(out[0, 2], [0.9, 0.9], atol=1e-6)  # untouched
+    # invalid persons never move
+    mask2 = jnp.asarray([[True, False, True]])
+    out2 = np.asarray(collision_aware_centers(centers, radii, mask2, 64))
+    np.testing.assert_allclose(out2[0, 1], [0.02, 0.0], atol=1e-6)
