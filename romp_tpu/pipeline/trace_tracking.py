@@ -302,17 +302,22 @@ def smooth_pose_params(traj: ClipTrajectories, params: np.ndarray,
                        rot_angle_thresh: float = 140.0) -> np.ndarray:
     """Jitter-rejecting global-rotation anchoring + OneEuro pose smoothing
     (`smooth_grots`, model.py:346-386). params: (N, T, D) with layout
-    [cam grot 6D | pose 126 | betas 21] (i.e. params_pred[:, 6:])."""
-    from romp_tpu.ops.rotations import (
-        matrix_to_axis_angle, rot6d_to_matrix,
-    )
-    import jax.numpy as jnp
+    [cam grot 6D | pose 126 | betas 21] (i.e. params_pred[:, 6:]).
+
+    Pure numpy — dispatching per-frame JAX ops here costs a device round
+    trip each on remote-tunneled platforms."""
+
+    def _r6_to_mat_np(x):
+        a1, a2 = x.reshape(3, 2)[:, 0], x.reshape(3, 2)[:, 1]
+        b1 = a1 / max(np.linalg.norm(a1), 1e-6)
+        b2 = a2 - np.dot(b1, a2) * b1
+        b2 = b2 / max(np.linalg.norm(b2), 1e-6)
+        return np.stack([b1, b2, np.cross(b1, b2)], axis=-1)
 
     def angle_between6d(a, b):
-        Ra = np.asarray(rot6d_to_matrix(jnp.asarray(a[None])))[0]
-        Rb = np.asarray(rot6d_to_matrix(jnp.asarray(b[None])))[0]
-        aa = np.asarray(matrix_to_axis_angle(jnp.asarray(Ra.T @ Rb)))
-        return np.linalg.norm(aa) * 180.0 / np.pi
+        R = _r6_to_mat_np(a).T @ _r6_to_mat_np(b)
+        cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+        return float(np.degrees(np.arccos(cos)))
 
     out = params.copy()
     for i, tid in enumerate(traj.track_ids):
