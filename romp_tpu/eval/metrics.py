@@ -62,6 +62,30 @@ def acceleration_error(gt_seq: jax.Array, pred_seq: jax.Array) -> jax.Array:
     return jnp.linalg.norm(acc(pred_seq) - acc(gt_seq), axis=-1).mean() * M2MM
 
 
+def ate(gt_traj: np.ndarray, pred_traj: np.ndarray,
+        align: bool = True) -> float:
+    """Absolute Trajectory Error (meters) for world-frame trajectories —
+    the DynaCam protocol metric (`trace2/evaluation/dynacam_evaluation/
+    evalute_ate.py`): optional rigid (Umeyama) alignment of the predicted
+    trajectory to GT, then RMSE of positions.
+
+    gt_traj/pred_traj: (T, 3).
+    """
+    gt = np.asarray(gt_traj, np.float64)
+    pr = np.asarray(pred_traj, np.float64)
+    if align and len(gt) >= 3:
+        mu_g, mu_p = gt.mean(0), pr.mean(0)
+        H = (pr - mu_p).T @ (gt - mu_g)
+        U, S, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        D = np.diag([1.0, 1.0, d])
+        R = Vt.T @ D @ U.T
+        var_p = ((pr - mu_p) ** 2).sum()
+        s = (S * np.diag(D)).sum() / var_p if var_p > 0 else 1.0
+        pr = s * (R @ (pr - mu_p).T).T + mu_g
+    return float(np.sqrt(((pr - gt) ** 2).sum(-1).mean()))
+
+
 def relative_depth_accuracy(pred_depths: np.ndarray, gt_ordering: np.ndarray,
                             eq_thresh: float = 0.2) -> float:
     """PCRD: fraction of annotated person pairs whose predicted depth order

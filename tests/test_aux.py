@@ -101,3 +101,55 @@ def test_export_sequence_results(tmp_path):
     np.savez(npz, results={}, sequence_results=seqs)
     paths = export_sequence_results(npz, str(tmp_path / "bvh"))
     assert len(paths) == 2
+
+
+def test_ate_metric():
+    from romp_tpu.eval.metrics import ate
+
+    rng = np.random.RandomState(0)
+    gt = np.cumsum(rng.randn(20, 3), axis=0)
+    # rigid-transformed trajectory: ATE ~ 0 after alignment
+    from romp_tpu.ops.rotations import axis_angle_to_matrix
+    R = np.asarray(axis_angle_to_matrix(jnp.asarray(
+        rng.randn(3).astype(np.float32))))
+    pred = gt @ R.T + np.array([3.0, -1.0, 2.0])
+    assert ate(gt, pred) < 1e-5
+    assert ate(gt, gt + rng.randn(20, 3)) > 0.5
+
+
+def test_video_clip_dataset(tmp_path):
+    import cv2
+    from romp_tpu.train.data.video_dataset import ClipDataset, VideoSequence
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(10):
+        p = str(tmp_path / f"f{i:03d}.jpg")
+        cv2.imwrite(p, rng.randint(0, 255, (64, 64, 3), np.uint8))
+        paths.append(p)
+    F = 10
+    subjects = {0: {
+        "valid": np.ones(F, bool),
+        "czyx": rng.randint(0, 64, (F, 3)).astype(np.int32),
+        "trans3d": rng.randn(F, 3).astype(np.float32),
+        "pose": rng.randn(F, 66).astype(np.float32),
+        "betas": rng.randn(F, 10).astype(np.float32),
+    }}
+    ds = ClipDataset([VideoSequence(paths, subjects)], clip_length=4,
+                     max_tracks=2, input_size=64)
+    assert len(ds) == 2
+    clip = ds.sample_clip(np.random.RandomState(1))
+    assert clip["frames"].shape == (4, 64, 64, 3)
+    assert clip["traj_valid"][0].all() and not clip["traj_valid"][1].any()
+    assert clip["betas_gt"].shape == (2, 4, 11)
+
+
+def test_camera_parameter_helpers():
+    from romp_tpu.train.data.camera_parameters import (
+        ROMP_FOCAL_512, focal_to_fov, fov_to_focal, intrinsics_matrix,
+    )
+
+    assert abs(fov_to_focal(60.0, 512.0) - ROMP_FOCAL_512) < 1.0
+    assert abs(focal_to_fov(fov_to_focal(50.0, 512.0), 512.0) - 50.0) < 1e-6
+    K = intrinsics_matrix([500.0, 510.0], [256.0, 256.0])
+    assert K[0, 0] == 500.0 and K[1, 2] == 256.0
