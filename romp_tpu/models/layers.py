@@ -103,13 +103,15 @@ def conv2d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
     in_ch = x.shape[-1]
     w = store.get(f"{prefix}.weight", (kh, kw, in_ch, out_ch), _he_normal)
     dt = store.compute_dtype
+    # No preferred_element_type: mixed conv output dtypes break the
+    # backward pass (cotangent/kernel dtype mismatch). TPU accumulates
+    # bf16 convs in f32 internally; we upcast the output explicitly.
     y = jax.lax.conv_general_dilated(
         x.astype(dt), w.astype(dt),
         window_strides=(stride, stride),
         padding=[(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=store.act_dtype,
-    )
+    ).astype(store.act_dtype)
     if bias:
         b = store.get(f"{prefix}.bias", (out_ch,), _zeros)
         y = y + b.astype(y.dtype)
@@ -200,8 +202,7 @@ def conv1d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
         x.astype(dt), w.astype(dt), window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(store.act_dtype)
     if bias:
         y = y + store.get(f"{prefix}.bias", (out_ch,), _zeros)
     return y
@@ -221,8 +222,7 @@ def conv3d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
         x.astype(dt), w.astype(dt), window_strides=(stride,) * 3,
         padding=[(padding, padding)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(store.act_dtype)
     if bias:
         y = y + store.get(f"{prefix}.bias", (out_ch,), _zeros)
     return y
@@ -282,8 +282,7 @@ def conv_transpose2d(store: ParamStore, prefix: str, x: jax.Array,
         padding=[(p, p), (p, p)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(store.act_dtype)
 
 
 def max_pool2d(x: jax.Array, window: int, stride: int,

@@ -85,8 +85,7 @@ def skinning_xla(a16: jax.Array, weights: jax.Array,
         for m in range(3)], axis=1)
 
 
-def fused_skinning(a16: jax.Array, weights: jax.Array,
-                   v_posed: jax.Array) -> jax.Array:
+def _skinning_fwd_impl(a16, weights, v_posed):
     use_pallas = (jax.default_backend() == "tpu"
                   and not os.environ.get("ROMP_TPU_NO_PALLAS"))
     if use_pallas:
@@ -95,3 +94,36 @@ def fused_skinning(a16: jax.Array, weights: jax.Array,
         except Exception:
             pass
     return skinning_xla(a16, weights, v_posed)
+
+
+@jax.custom_vjp
+def fused_skinning(a16: jax.Array, weights: jax.Array,
+                   v_posed: jax.Array) -> jax.Array:
+    """Skinning with a Pallas forward and an analytic XLA backward
+    (pallas_call is not auto-differentiable; training needs grads w.r.t.
+    the joint transforms and posed vertices — lbs weights are model
+    constants and get a zero cotangent)."""
+    return _skinning_fwd_impl(a16, weights, v_posed)
+
+
+def _fused_skinning_fwd(a16, weights, v_posed):
+    return _skinning_fwd_impl(a16, weights, v_posed), (a16, weights, v_posed)
+
+
+def _fused_skinning_bwd(res, g):
+    a16, weights, v_posed = res
+    B, _, J = a16.shape
+    # verts[b,m,v] = sum_n T16[b,4m+n,v] * vpos[b,n,v] + T16[b,4m+3,v]
+    t16 = jnp.einsum("bkj,vj->bkv", a16, weights)
+    dv = jnp.stack([
+        sum(t16[:, 4 * m + n] * g[:, m] for m in range(3))
+        for n in range(3)], axis=1)                        # (B, 3, V)
+    vh = jnp.concatenate([v_posed, jnp.ones_like(v_posed[:, :1])], axis=1)
+    # da16[b, 4m+n, j] = sum_v g[b,m,v] * vh[b,n,v] * W[v,j]
+    da_mn = jnp.einsum("bmv,bnv,vj->bmnj", g, vh, weights)  # (B, 3, 4, J)
+    da16 = jnp.concatenate(
+        [da_mn.reshape(B, 12, J), jnp.zeros((B, 4, J), da_mn.dtype)], axis=1)
+    return da16, jnp.zeros_like(weights), dv
+
+
+fused_skinning.defvjp(_fused_skinning_fwd, _fused_skinning_bwd)

@@ -30,3 +30,24 @@ def test_smpl_forward_uses_fused_skinning():
     pose = jnp.asarray(rng.randn(2, 72).astype(np.float32) * 0.3)
     v, j = jax.jit(lambda b, p: smpl_forward(smpl, b, p))(betas, pose)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_fused_skinning_custom_vjp_matches_autodiff():
+    from romp_tpu.ops.pallas_lbs import fused_skinning, skinning_xla
+
+    rng = np.random.RandomState(2)
+    B, J, V = 2, 24, 300
+    a16 = jnp.asarray(rng.randn(B, 16, J).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.randn(V, J)).astype(np.float32))
+    vpos = jnp.asarray(rng.randn(B, 3, V).astype(np.float32))
+
+    def loss_fused(a, v):
+        return jnp.sum(fused_skinning(a, w, v) ** 2)
+
+    def loss_xla(a, v):
+        return jnp.sum(skinning_xla(a, w, v) ** 2)
+
+    ga1, gv1 = jax.grad(loss_fused, argnums=(0, 1))(a16, vpos)
+    ga2, gv2 = jax.grad(loss_xla, argnums=(0, 1))(a16, vpos)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), atol=1e-3)
