@@ -101,9 +101,21 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
       betas_mask     (B, P) bool
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    # Rematerialize the backbone forward: HRNet activations at 512^2 exceed
+    # HBM at useful batch sizes if all are stashed for backward
+    # (jax.checkpoint trades ~30% recompute for ~2x activation memory).
+    @jax.checkpoint
+    def net_fwd(tr, bn, image):
+        store = ParamStore({**tr, **bn}, train=True, compute_dtype=dt)
+        cm, pm = romp_forward(store, image)
+        return cm, pm, store.stats_updates
+
+    center_maps, params_maps, stats_updates = net_fwd(
+        trainable, bn_state, batch["image"])
     store = ParamStore({**trainable, **bn_state}, train=True,
                        compute_dtype=dt)
-    center_maps, params_maps = romp_forward(store, batch["image"])
+    store.stats_updates = stats_updates
 
     B, P = batch["person_mask"].shape
     map_size = center_maps.shape[1]
