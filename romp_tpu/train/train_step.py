@@ -48,6 +48,8 @@ class TrainConfig:
     shape_weight: float = 6.0
     compute_dtype: str = "float32"
     cam_scale_base: float = 1.1
+    match_pred_centers: bool = False   # matching_forward refinement
+    match_radius: float = 3.0          # map-pixel match gate
 
 
 class TrainState(NamedTuple):
@@ -130,6 +132,26 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
     cy = jnp.clip(jnp.floor((centers[..., 1] + 1) / 2 * map_size), 0,
                   map_size - 1).astype(jnp.int32)
     person_inds = cy * map_size + cx
+
+    if cfg.match_pred_centers:
+        # matching_forward refinement (`romp/lib/maps_utils/result_parser.py:
+        # 97,190`): parse the PREDICTED centermap and supervise each GT person
+        # at its nearest predicted peak (within a radius), falling back to the
+        # GT location — robust to center drift, fixed-shape via top-K + argmin.
+        from romp_tpu.ops.centermap import parse_centermap2d
+
+        det = parse_centermap2d(
+            jax.lax.stop_gradient(center_maps[..., 0]), P, -1e9)
+        d = jnp.linalg.norm(
+            det.yx[:, None, :, :]
+            - jnp.stack([cy, cx], -1)[:, :, None, :].astype(jnp.float32),
+            axis=-1)                                   # (B, P_gt, K_pred)
+        best = jnp.argmin(d, axis=-1)                  # (B, P_gt)
+        best_d = jnp.min(d, axis=-1)
+        matched_inds = jnp.take_along_axis(det.flat_inds, best, axis=1)
+        person_inds = jnp.where(best_d <= cfg.match_radius, matched_inds,
+                                person_inds)
+
     params_pred = sample_maps_at(params_maps, person_inds)
     out = unpack_params(params_pred, cfg.cam_scale_base)
 

@@ -140,3 +140,18 @@ def test_collision_aware_centers_separate_overlaps():
     mask2 = jnp.asarray([[True, False, True]])
     out2 = np.asarray(collision_aware_centers(centers, radii, mask2, 64))
     np.testing.assert_allclose(out2[0, 1], [0.02, 0.0], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_step_with_pred_center_matching():
+    cfg = TrainConfig(match_pred_centers=True)
+    params = init_romp_params(jax.random.PRNGKey(0), input_size=64)
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    state = init_train_state(params, cfg)
+    batch = make_synthetic_batch(jax.random.PRNGKey(1), batch_size=2,
+                                 num_person=2, input_size=64)
+    step = jax.jit(lambda s, b: train_step(s, b, smpl, cfg))
+    s1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["total"]))
+    s, m = step(s1, batch)
+    assert np.isfinite(float(m["total"]))
