@@ -103,15 +103,25 @@ def conv2d(store: ParamStore, prefix: str, x: jax.Array, out_ch: int,
     in_ch = x.shape[-1]
     w = store.get(f"{prefix}.weight", (kh, kw, in_ch, out_ch), _he_normal)
     dt = store.compute_dtype
-    # No preferred_element_type: mixed conv output dtypes break the
-    # backward pass (cotangent/kernel dtype mismatch). TPU accumulates
-    # bf16 convs in f32 internally; we upcast the output explicitly.
-    y = jax.lax.conv_general_dilated(
-        x.astype(dt), w.astype(dt),
-        window_strides=(stride, stride),
-        padding=[(ph, ph), (pw, pw)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ).astype(store.act_dtype)
+    if store.train:
+        # Differentiable mixed precision: mixed conv output dtypes break
+        # the backward pass (cotangent/kernel dtype mismatch), so output in
+        # the compute dtype and upcast explicitly (TPU still accumulates
+        # bf16 convs in f32 internally).
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), w.astype(dt), window_strides=(stride, stride),
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(store.act_dtype)
+    else:
+        # Inference: emit the activation dtype directly from the conv (no
+        # extra upcast buffer — the bf16+f32 pair OOMs HBM at batch 512).
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), w.astype(dt), window_strides=(stride, stride),
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=store.act_dtype,
+        )
     if bias:
         b = store.get(f"{prefix}.bias", (out_ch,), _zeros)
         y = y + b.astype(y.dtype)
