@@ -43,7 +43,7 @@ def add_common_flags(parser: argparse.ArgumentParser, tool: str):
     parser.add_argument("--save_video", action="store_true")
     parser.add_argument("--frame_rate", type=int, default=24)
     parser.add_argument("--webcam_id", type=int, default=0)
-    parser.add_argument("--max_person", type=int, default=16,
+    parser.add_argument("--max_person", type=int, default=64,
                         help="fixed per-image person capacity (TPU shapes)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])

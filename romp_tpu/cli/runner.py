@@ -25,8 +25,16 @@ def run_tool(model, settings) -> int:
     if settings.mode == "image":
         assert settings.input, "--input required"
         saver = ResultSaver(mode="image", save_path=settings.save_path)
-        for path in collect_image_paths(settings.input):
+        paths = collect_image_paths(settings.input)
+        if not paths:
+            print(f"error: no images found at {settings.input!r}",
+                  file=sys.stderr)
+            return 1
+        for path in paths:
             image = cv2.imread(path)
+            if image is None:
+                print(f"error: cannot read image {path!r}", file=sys.stderr)
+                return 1
             outputs = model(image)
             saver(outputs, path)
         return 0

@@ -25,7 +25,7 @@ class ModelConfig:
     version: str = "romp"                # romp | bev | trace
     input_size: int = 512
     centermap_size: int = 64
-    max_person: int = 16
+    max_person: int = 64
     centermap_conf_thresh: float = 0.25
     cam_scale_base: float = 1.1
 
@@ -39,6 +39,8 @@ class LossConfig:
     pose_weight: float = 80.0
     shape_weight: float = 6.0
     prior_weight: float = 1.6
+    prior_path: Optional[str] = None     # gmm_08.pkl / packed npz; None =
+    # synthetic GMM (the reference asset isn't redistributable)
     loss_thresh: float = 1000.0          # per-loss clamp (learnable_loss.py:50)
 
 

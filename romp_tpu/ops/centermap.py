@@ -5,7 +5,7 @@ max-pool NMS (5x5, stride 1) -> top-K over the flattened map -> confidence
 threshold. The reference then boolean-masks to a dynamic person count; here
 the parse keeps a fixed K with a validity mask so the whole pipeline stays
 jittable and batched. 3D version (BEV): `simple_romp/bev/post_parser.py:19-66`
-uses a 3x3x3 max-pool over a (D, H, W) centermap.
+uses a 5x5x5 max-pool (MaxPool3d(5, 1, 2)) over a (D, H, W) centermap.
 """
 from __future__ import annotations
 
@@ -60,8 +60,9 @@ class CenterDetections3D(NamedTuple):
     mask: jax.Array        # (B, K) bool
 
 
-def nms_heatmap3d(center_map: jax.Array, window: int = 3) -> jax.Array:
-    """3D NMS. center_map: (B, D, H, W), 3x3x3 local-max suppression."""
+def nms_heatmap3d(center_map: jax.Array, window: int = 5) -> jax.Array:
+    """3D NMS. center_map: (B, D, H, W); window matches the reference's
+    MaxPool3d(5, 1, 2) (`bev/post_parser.py:25`)."""
     pad = (window - 1) // 2
     pooled = jax.lax.reduce_window(
         center_map, -jnp.inf, jax.lax.max,

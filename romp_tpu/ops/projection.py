@@ -77,7 +77,9 @@ def estimate_translation_lstsq(joints3d: jax.Array, joints2d: jax.Array,
     joints3d: (B, N, 3); joints2d: (B, N, 2) in pixels; weights: (B, N)
     {0,1} validity. Returns (B, 3).
     """
-    cx = img_size / 2.0
+    # Square-pad preprocessing makes the principal point symmetric, but keep
+    # cx/cy distinct so a non-square img_size pair stays correct.
+    cx = cy = img_size / 2.0
     f = focal_length
     X, Y, Z = joints3d[..., 0], joints3d[..., 1], joints3d[..., 2]
     u, v = joints2d[..., 0], joints2d[..., 1]
@@ -87,9 +89,9 @@ def estimate_translation_lstsq(joints3d: jax.Array, joints2d: jax.Array,
     zeros = jnp.zeros_like(u)
     fcol = jnp.full_like(u, f)
     Qx = jnp.stack([fcol, zeros, cx - u], axis=-1)      # (B, N, 3)
-    Qy = jnp.stack([zeros, fcol, cx - v], axis=-1)
+    Qy = jnp.stack([zeros, fcol, cy - v], axis=-1)
     cx_rhs = (u - cx) * Z - f * X                        # (B, N)
-    cy_rhs = (v - cx) * Z - f * Y
+    cy_rhs = (v - cy) * Z - f * Y
 
     Q = jnp.concatenate([Qx, Qy], axis=1)                # (B, 2N, 3)
     c = jnp.concatenate([cx_rhs, cy_rhs], axis=1)        # (B, 2N)

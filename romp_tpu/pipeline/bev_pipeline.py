@@ -31,7 +31,7 @@ TAN_FOV_HALF = float(np.tan(np.radians(30.0)))  # FOV 60 deg
 @dataclasses.dataclass(frozen=True)
 class BevConfig:
     input_size: int = 512
-    max_person: int = 16
+    max_person: int = 64
     conf_thresh: float = 0.1       # `bev_settings` center_thresh presets
     nms_thresh: float = 16.0       # duplicate suppression
     relative_scale_thresh: float = 3.0

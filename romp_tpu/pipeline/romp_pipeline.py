@@ -33,7 +33,7 @@ from romp_tpu.smpl.body_model import SmplModel, smpl_forward
 @dataclasses.dataclass(frozen=True)
 class RompConfig:
     input_size: int = 512
-    max_person: int = 16           # fixed K per image (64 = reference topK)
+    max_person: int = 64           # reference topK (simple_romp/romp/post_parser.py:32)
     conf_thresh: float = 0.25      # `simple_romp/romp/main.py` center_thresh
     cam_scale_base: float = 1.1    # pow(1.1, s) decode (`main.py:113`)
     root_align: bool = False       # CLI default (`romp/main.py:39`)
@@ -85,9 +85,11 @@ def romp_inference(params: Dict[str, jax.Array], smpl: SmplModel,
     B, K = det.scores.shape
     params_pred = sample_maps_at(params_maps, det.flat_inds)  # (B, K, 145)
     out = unpack_params(params_pred, cfg.cam_scale_base)
-    # (x, y) pixel centers on the 512-input, `post_parser.py:144`.
+    # (x, y) pixel centers on the input image, `post_parser.py:144`; the
+    # map size comes from the net output, not a hardcoded 64.
+    S = center_maps.shape[1]
     centers = jnp.stack(
-        [det.flat_inds % 64, det.flat_inds // 64], -1) * cfg.input_size // 64
+        [det.flat_inds % S, det.flat_inds // S], -1) * cfg.input_size // S
     out.update({
         "mask": det.mask,
         "center_confs": det.scores,

@@ -50,7 +50,7 @@ FOCAL_TRACE = 548.0  # FOV 50 deg at 512 input
 class TraceConfig:
     input_size: int = 512
     temp_clip_length: int = 8
-    max_person: int = 16
+    max_person: int = 64
     max_tracks: int = 16
     conf_thresh: float = 0.05
     compute_dtype: str = "float32"

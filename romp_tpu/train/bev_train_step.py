@@ -43,7 +43,8 @@ class BevTrainConfig(NamedTuple):
 
 
 def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
-                       smpl_baby: SmplModel, cfg: BevTrainConfig):
+                       smpl_baby: SmplModel, cfg: BevTrainConfig,
+                       prior=None):
     """batch adds to the ROMP schema:
       person_scales  (B, P) GT weak-persp scale (for the depth-anchor bin)
       depth_ids      (B, P) int ordinal depth layer, -1 unannotated
@@ -99,7 +100,9 @@ def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
             maps.center_maps_fv[..., 0],
             jnp.max(centermap3d_gt, axis=1)),
         "kp2d": base.kp2d_weight * losses.kp2d_l2_loss(
-            flat(batch["kp2d_gt"]), pj2d[:, :54], w),
+            flat(batch["kp2d_gt"]), pj2d[:, :54],
+            w * flat(batch["kp2d_mask"]).astype(jnp.float32)
+            if "kp2d_mask" in batch else w),
         "mpjpe": base.mpjpe_weight * losses.mpjpe_loss(
             flat(batch["kp3d_gt"]), joints[:, :54], kp3d_w),
         "pose": base.pose_weight * losses.pose_l2_loss(
@@ -117,8 +120,17 @@ def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
             + 2.0 * kid_offset_loss(out["smpl_betas"][..., 10],
                                     batch["kid_offsets_gt"], mask)),
     }
-    total = sum(loss_dict.values())
-    return total, (store.stats_updates, {**loss_dict, "total": total})
+    if prior is not None and base.prior_weight > 0:
+        from romp_tpu.train.priors import gmm_prior_loss
+
+        loss_dict["prior"] = base.prior_weight * gmm_prior_loss(
+            prior, flat(out["smpl_thetas"])[:, 3:66], w)
+
+    from romp_tpu.train.loss_merger import merge_losses
+
+    total, metrics = merge_losses(loss_dict, base.loss_thresh,
+                                  base.new_training)
+    return total, (store.stats_updates, metrics)
 
 
 class BevTrainState(NamedTuple):
@@ -129,9 +141,11 @@ class BevTrainState(NamedTuple):
 
 
 def bev_make_optimizer(cfg: BevTrainConfig):
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.base.grad_clip),
-        optax.adamw(cfg.base.lr, weight_decay=cfg.base.weight_decay))
+    return optax.apply_if_finite(
+        optax.chain(
+            optax.clip_by_global_norm(cfg.base.grad_clip),
+            optax.adamw(cfg.base.lr, weight_decay=cfg.base.weight_decay)),
+        max_consecutive_errors=10000)
 
 
 def bev_init_train_state(params, cfg: BevTrainConfig) -> BevTrainState:
@@ -142,11 +156,12 @@ def bev_init_train_state(params, cfg: BevTrainConfig) -> BevTrainState:
 
 
 def bev_train_step(state: BevTrainState, batch, smpl_adult, smpl_baby,
-                   cfg: BevTrainConfig
+                   cfg: BevTrainConfig, prior=None
                    ) -> Tuple[BevTrainState, Dict[str, jax.Array]]:
     grad_fn = jax.value_and_grad(bev_compute_losses, has_aux=True)
     (_, (bn_updates, metrics)), grads = grad_fn(
-        state.trainable, state.bn_state, batch, smpl_adult, smpl_baby, cfg)
+        state.trainable, state.bn_state, batch, smpl_adult, smpl_baby, cfg,
+        prior)
     updates, opt_state = bev_make_optimizer(cfg).update(
         grads, state.opt_state, state.trainable)
     trainable = optax.apply_updates(state.trainable, updates)

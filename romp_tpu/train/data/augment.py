@@ -159,12 +159,24 @@ def square_pad_resize(image: np.ndarray, kp2ds: Optional[np.ndarray],
 def augment_sample(image: np.ndarray, kp2ds: np.ndarray,
                    kp3ds: Optional[np.ndarray], poses: Optional[np.ndarray],
                    cfg: AugmentConfig, rng: np.random.RandomState,
-                   train: bool = True):
+                   train: bool = True,
+                   extra_pts: Optional[np.ndarray] = None):
     """Full pipeline. image: HxWx3 RGB uint8; kp2ds: (P, 54, 2) pixels with
     INVALID; kp3ds: (P, 54, 3) or None; poses: (P, 66|72) or None.
+    extra_pts: optional (P, M, 2) auxiliary pixel points (e.g. bbox corners
+    for bbox-only persons) that follow the same geometric transforms as
+    kp2ds but have no left/right identity (flip just mirrors x).
 
-    Returns (image (S, S, 3) float32, kp2d_norm, kp3ds, poses).
+    Returns (image (S, S, 3) float32, kp2d_norm, kp3ds, poses, extra_norm).
     """
+    # Geometric ops treat kp2ds and extra_pts identically — concatenate along
+    # the joint axis, split back at the end. Flip is the exception (L/R swap
+    # applies to named joints only), handled on the split arrays.
+    M = 0
+    if extra_pts is not None:
+        M = extra_pts.shape[1]
+        kp2ds = np.concatenate([kp2ds, extra_pts.astype(np.float32)], axis=1)
+
     if train and rng.rand() < cfg.crop_prob and _valid(kp2ds).any():
         # random scale-crop around the people bbox
         v = _valid(kp2ds)
@@ -191,7 +203,17 @@ def augment_sample(image: np.ndarray, kp2ds: np.ndarray,
             poses = rotate_global_orient(poses, angle)
 
     if train and rng.rand() < cfg.flip_prob:
-        image, kp2ds, kp3ds, poses = flip_sample(image, kp2ds, kp3ds, poses)
+        extra = kp2ds[:, 54:] if M else None
+        image, kp2d_only, kp3ds, poses = flip_sample(
+            image, kp2ds[:, :54], kp3ds, poses)
+        if M:
+            w = image.shape[1]
+            v = _valid(extra)
+            extra = extra.copy()
+            extra[..., 0] = np.where(v, w - 1 - extra[..., 0], INVALID)
+            kp2ds = np.concatenate([kp2d_only, extra], axis=1)
+        else:
+            kp2ds = kp2d_only
 
     if train and rng.rand() < cfg.occlusion_prob:
         image = synthetic_occlusion(image, rng)
@@ -199,4 +221,20 @@ def augment_sample(image: np.ndarray, kp2ds: np.ndarray,
         image = color_jitter(image, rng, cfg.color_jitter)
 
     image, kp2ds = square_pad_resize(image, kp2ds, cfg.input_size)
-    return image, kp2ds, kp3ds, poses
+    extra_out = None
+    if M:
+        # bbox-style points are clamped into frame (the reference clips
+        # bboxes on crop), not invalidated.
+        extra_out, kp2ds = kp2ds[:, 54:], kp2ds[:, :54]
+        v = _valid(extra_out)
+        extra_out = np.where(v[..., None], np.clip(extra_out, -1.0, 1.0),
+                             INVALID)
+    if kp2ds is not None:
+        # Joints pushed outside the crop/canvas are no longer supervisable:
+        # mark them INVALID like the reference's process_kps set_minus
+        # (`romp/lib/dataset/image_base.py:224-226`). Without this, the kp2d
+        # loss pulls projections off-screen and person centers/bboxes
+        # derived from these joints are skewed.
+        inside = (np.abs(kp2ds) <= 1.0).all(axis=-1)
+        kp2ds = np.where(inside[..., None], kp2ds, INVALID)
+    return image, kp2ds, kp3ds, poses, extra_out

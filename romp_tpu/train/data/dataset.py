@@ -42,6 +42,10 @@ class ImageAnnotation:
     depth_ids: Optional[np.ndarray] = None    # (P,) int ordinal layer, -1
     age_gts: Optional[np.ndarray] = None      # (P,) {0..3}, -1 unannotated
     kid_offsets: Optional[np.ndarray] = None  # (P,) [0,1], -1 unannotated
+    # Detection-only supervision (CrowdHuman / bbox-fallback persons,
+    # `romp/lib/dataset/crowdhuman.py` vmask_2d=[False,...,True]): persons
+    # with a bbox but no keypoints still supervise the centermap.
+    bboxes: Optional[np.ndarray] = None       # (P, 4) ltrb pixels, or NaN row
 
     @property
     def num_person(self) -> int:
@@ -95,8 +99,15 @@ class SingleDataset:
                  if rec.kp3ds is not None else None)
         poses = (rec.poses[:n].astype(np.float32)
                  if rec.poses is not None else None)
-        image, kp2ds, kp3ds, poses = augment_sample(
-            image, kp2ds, kp3ds, poses, self.aug, rng, self.train)
+        bbox_pts = None
+        if rec.bboxes is not None:
+            lt = rec.bboxes[:n, :2].astype(np.float32)
+            rb = rec.bboxes[:n, 2:].astype(np.float32)
+            bbox_pts = np.stack([lt, rb], axis=1)              # (n, 2, 2)
+            bbox_pts[np.isnan(bbox_pts)] = INVALID
+        image, kp2ds, kp3ds, poses, bbox_pts = augment_sample(
+            image, kp2ds, kp3ds, poses, self.aug, rng, self.train,
+            extra_pts=bbox_pts)
 
         def _pad(a, shape, fill):
             out = np.full(shape, fill, np.float32)
@@ -105,18 +116,27 @@ class SingleDataset:
             return out
 
         vis = (kp2ds > INVALID + 1e-6).all(-1)                 # (n, 54)
-        person_ok = vis.sum(-1) >= 2
+        has_pose2d = vis.sum(-1) >= 2
+        has_bbox = np.zeros(n, bool)
+        if bbox_pts is not None:
+            has_bbox = (bbox_pts > INVALID + 1e-6).all(axis=(-2, -1))
+        person_ok = has_pose2d | has_bbox
         centers = np.full((P, 2), -2.0, np.float32)
         bbox_hw = np.zeros((P, 2), np.float32)
         for p in range(n):
             if not person_ok[p]:
                 continue
-            pts = kp2ds[p][vis[p]]
+            if has_pose2d[p]:
+                pts = kp2ds[p][vis[p]]
+            else:                                  # bbox-only person
+                pts = bbox_pts[p]
             centers[p] = (pts.min(0) + pts.max(0)) / 2.0
             bbox_hw[p] = (pts.max(0) - pts.min(0))[::-1]       # (h, w)
 
         mask = np.zeros(P, bool)
         mask[:n] = person_ok
+        kp2d_mask = np.zeros(P, bool)
+        kp2d_mask[:n] = has_pose2d
 
         def _flag(m):
             out = np.zeros(P, bool)
@@ -138,6 +158,7 @@ class SingleDataset:
             "person_centers": centers,
             "person_bbox_hw": bbox_hw,
             "person_mask": mask,
+            "kp2d_mask": kp2d_mask,
             "kp2d_gt": _pad(kp2ds, (P, 54, 2), INVALID),
             "kp3d_gt": _pad(kp3ds, (P, 54, 3), INVALID),
             "kp3d_mask": _flag(rec.kp3d_mask

@@ -69,10 +69,81 @@ MuPoTS_17 = {
     'Thorax_MPII': 15, 'Head': 16,
 }
 
+COCO_18 = {
+    'Nose': 0, 'Neck': 1, 'R_Shoulder': 2, 'R_Elbow': 3, 'R_Wrist': 4,
+    'L_Shoulder': 5, 'L_Elbow': 6, 'L_Wrist': 7, 'R_Hip': 8, 'R_Knee': 9,
+    'R_Ankle': 10, 'L_Hip': 11, 'L_Knee': 12, 'L_Ankle': 13, 'R_Eye': 14,
+    'L_Eye': 15, 'R_Ear': 16, 'L_Ear': 17,
+}
+
+OpenPose_25 = {
+    'Nose': 0, 'Neck': 1, 'R_Shoulder': 2, 'R_Elbow': 3, 'R_Wrist': 4,
+    'L_Shoulder': 5, 'L_Elbow': 6, 'L_Wrist': 7, 'Pelvis': 8, 'R_Hip': 9,
+    'R_Knee': 10, 'R_Ankle': 11, 'L_Hip': 12, 'L_Knee': 13, 'L_Ankle': 14,
+    'R_Eye': 15, 'L_Eye': 16, 'R_Ear': 17, 'L_Ear': 18, 'L_BigToe': 19,
+    'L_SmallToe': 20, 'L_Heel': 21, 'R_BigToe': 22, 'R_SmallToe': 23,
+    'R_Heel': 24,
+}
+
+# MuCo-3DHP 21-joint order (`romp/lib/constants.py:111`).
+MuCo_21 = {
+    'Head_top': 0, 'R_Shoulder': 2, 'R_Elbow': 3, 'R_Wrist': 4,
+    'L_Shoulder': 5, 'L_Elbow': 6, 'L_Wrist': 7, 'R_Hip': 8, 'R_Knee': 9,
+    'R_Ankle': 10, 'L_Hip': 11, 'L_Knee': 12, 'L_Ankle': 13, 'Pelvis': 14,
+    'Head': 16, 'R_Hand': 17, 'L_Hand': 18, 'R_BigToe': 19, 'L_BigToe': 20,
+}
+
+# MPI-INF-3DHP 28-joint mocap order (`romp/lib/constants.py:170`);
+# named spine/collar joints have no SMPL54 counterpart and are dropped.
+MPI_INF_28 = {
+    'Pelvis': 4, 'Neck': 5, 'Head': 6, 'Head_top': 7, 'L_Shoulder': 9,
+    'L_Elbow': 10, 'L_Wrist': 11, 'L_Hand': 12, 'R_Shoulder': 14,
+    'R_Elbow': 15, 'R_Wrist': 16, 'R_Hand': 17, 'L_Hip': 18, 'L_Knee': 19,
+    'L_Ankle': 20, 'L_SmallToe': 21, 'L_BigToe': 22, 'R_Hip': 23,
+    'R_Knee': 24, 'R_Ankle': 25, 'R_SmallToe': 26, 'R_BigToe': 27,
+}
+
+# MPI-INF-3DHP official 17-joint test order (`constants.py` MPI_INF_TEST_17).
+MPI_INF_TEST_17 = {
+    'Neck_LSP': 1, 'R_Shoulder': 2, 'R_Elbow': 3, 'R_Wrist': 4,
+    'L_Shoulder': 5, 'L_Elbow': 6, 'L_Wrist': 7, 'R_Hip': 8, 'R_Knee': 9,
+    'R_Ankle': 10, 'L_Hip': 11, 'L_Knee': 12, 'L_Ankle': 13, 'Pelvis': 14,
+}
+
+# CMU Panoptic 19-joint order (`constants.py` Panoptic_19).
+Panoptic_19 = {
+    'Neck': 0, 'Nose': 1, 'Pelvis': 2, 'L_Shoulder': 3, 'L_Elbow': 4,
+    'L_Wrist': 5, 'L_Hip': 6, 'L_Knee': 7, 'L_Ankle': 8, 'R_Shoulder': 9,
+    'R_Elbow': 10, 'R_Wrist': 11, 'R_Hip': 12, 'R_Knee': 13, 'R_Ankle': 14,
+    'L_Eye': 15, 'L_Ear': 16, 'R_Eye': 17, 'R_Ear': 18,
+}
+
+# PoseTrack(17/18/21) keypoint order (`constants.py` Posetrack_17; slots
+# 2-4 are unused placeholder joints in the official format).
+Posetrack_17 = {
+    'Nose': 0, 'Neck': 1, 'L_Shoulder': 5, 'R_Shoulder': 6, 'L_Elbow': 7,
+    'R_Elbow': 8, 'L_Wrist': 9, 'R_Wrist': 10, 'L_Hip': 11, 'R_Hip': 12,
+    'L_Knee': 13, 'R_Knee': 14, 'L_Ankle': 15, 'R_Ankle': 16,
+}
+
+Crowdpose_14 = {
+    'L_Shoulder': 0, 'R_Shoulder': 1, 'L_Elbow': 2, 'R_Elbow': 3,
+    'L_Wrist': 4, 'R_Wrist': 5, 'L_Hip': 6, 'R_Hip': 7, 'L_Knee': 8,
+    'R_Knee': 9, 'L_Ankle': 10, 'R_Ankle': 11, 'Head_top': 12,
+    'Neck_LSP': 13,
+}
+
+# AI Challenger raw 14-joint order -> LSP_14 reindexing
+# (`romp/lib/dataset/AICH.py:46` _ai_ch_to_lsp kp_map).
+AICH_TO_LSP = np.array([8, 7, 6, 9, 10, 11, 2, 1, 0, 3, 4, 5, 13, 12])
+
 FORMATS: Dict[str, Dict[str, int]] = {
-    "smpl54": SMPL_ALL_54, "coco17": COCO_17, "lsp14": LSP_14,
-    "mpii16": MPII_16, "h36m17": H36M_17, "mupots17": MuPoTS_17,
-    "smpl24": SMPL_24,
+    "smpl54": SMPL_ALL_54, "coco17": COCO_17, "coco18": COCO_18,
+    "openpose25": OpenPose_25, "lsp14": LSP_14, "mpii16": MPII_16,
+    "h36m17": H36M_17, "mupots17": MuPoTS_17, "smpl24": SMPL_24,
+    "muco21": MuCo_21, "mpiinf28": MPI_INF_28,
+    "mpiinf_test17": MPI_INF_TEST_17, "panoptic19": Panoptic_19,
+    "posetrack17": Posetrack_17, "crowdpose14": Crowdpose_14,
 }
 
 INVALID = -2.0

@@ -89,18 +89,36 @@ def mpjpe_loss(gt: jax.Array, pred: jax.Array, person_w: jax.Array,
     return _wmean(per_person, person_w)
 
 
-def procrustes_align(gt: jax.Array, pred: jax.Array) -> jax.Array:
+def procrustes_align(gt: jax.Array, pred: jax.Array,
+                     joint_w: Optional[jax.Array] = None) -> jax.Array:
     """Batched similarity (Procrustes) transform of pred onto gt.
 
     gt/pred: (N, J, 3). Returns aligned pred. Mirrors
     `evaluation_matrix.py:252` (batch_compute_similarity_transform_torch).
+    joint_w: optional (N, J) per-joint validity weights — the alignment is
+    solved on the weighted point sets (the reference boolean-indexes valid
+    joints before Procrustes; weighting is the fixed-shape equivalent).
     """
-    mu_g = gt.mean(axis=1, keepdims=True)
-    mu_p = pred.mean(axis=1, keepdims=True)
-    X = (gt - mu_g).swapaxes(1, 2)    # (N, 3, J)
+    if joint_w is None:
+        joint_w = jnp.ones(gt.shape[:2], gt.dtype)
+    wn = (joint_w / (jnp.sum(joint_w, axis=1, keepdims=True) + 1e-8)
+          )[..., None]                # (N, J, 1), rows sum to 1
+    mu_g = jnp.sum(gt * wn, axis=1, keepdims=True)
+    mu_p = jnp.sum(pred * wn, axis=1, keepdims=True)
+    X = ((gt - mu_g) * wn).swapaxes(1, 2)      # (N, 3, J) weighted
     Y = (pred - mu_p).swapaxes(1, 2)
-    var_p = jnp.sum(Y ** 2, axis=(1, 2))
+    Yw = ((pred - mu_p) * wn).swapaxes(1, 2)
+    var_p = jnp.sum(Y * Yw, axis=(1, 2))
     K = X @ Y.swapaxes(1, 2)          # (N, 3, 3)
+    # Degenerate persons (fewer than 3 valid joints -> K near-singular)
+    # would make the SVD *gradient* NaN, and NaN * 0-weight still poisons
+    # the whole backward pass. Route them through a fixed well-conditioned
+    # matrix: the where() picks the constant branch, so their gradient
+    # contribution is exactly zero; callers weight them out of the mean.
+    ok = jnp.sum(joint_w, axis=1) >= 3
+    K = jnp.where(ok[:, None, None], K,
+                  jnp.diag(jnp.asarray([1.0, 2.0, 3.0], K.dtype))[None])
+    var_p = jnp.where(ok, var_p, 1.0)
     U, s, Vh = jnp.linalg.svd(K)
     V = Vh.swapaxes(1, 2)
     det = jnp.linalg.det(U @ Vh)
@@ -116,11 +134,16 @@ def procrustes_align(gt: jax.Array, pred: jax.Array) -> jax.Array:
 
 def pampjpe_loss(gt: jax.Array, pred: jax.Array,
                  person_w: jax.Array) -> jax.Array:
-    """Procrustes-aligned MPJPE over the first 24 joints (all assumed valid
-    for persons with person_w > 0)."""
-    aligned = procrustes_align(gt, pred)
-    d = _safe_norm(aligned - gt).mean(axis=-1)
-    return _wmean(d, person_w)
+    """Procrustes-aligned MPJPE. Invalid joints (gt == -2 exactly, the
+    reference's set_minus convention) are excluded from both the alignment
+    solve and the error mean; persons with fewer than 3 valid joints (an
+    under-determined similarity fit) are dropped from the batch mean."""
+    valid_j = (gt != -2.0).any(axis=-1).astype(pred.dtype)   # (N, J)
+    aligned = procrustes_align(gt, pred, valid_j)
+    d = _safe_norm(aligned - gt)
+    per_person = jnp.sum(d * valid_j, -1) / (jnp.sum(valid_j, -1) + 1e-6)
+    person_w = person_w * (jnp.sum(valid_j, -1) >= 3).astype(pred.dtype)
+    return _wmean(per_person, person_w)
 
 
 def pose_l2_loss(gt_aa: jax.Array, pred_aa: jax.Array,

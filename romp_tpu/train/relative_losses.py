@@ -73,9 +73,3 @@ def kid_offset_loss(kid_offsets: jax.Array, gt_offsets: jax.Array,
     valid = mask & (gt_offsets >= 0)
     per = (kid_offsets - gt_offsets) ** 2
     return jnp.sum(jnp.where(valid, per, 0.0)) / (jnp.sum(valid) + 1e-6)
-
-
-def clamp_losses(loss_dict: dict, thresh: float = 1000.0) -> dict:
-    """Per-loss clamp guard against explosions
-    (`romp/lib/loss_funcs/learnable_loss.py:50-57`)."""
-    return {k: jnp.minimum(v, thresh) for k, v in loss_dict.items()}

@@ -50,6 +50,8 @@ class TraceTrainConfig(NamedTuple):
     world_trans_weight: float = 50.0
     world_grot_weight: float = 40.0
     temp_shape_weight: float = 10.0
+    prior_weight: float = 1.6
+    loss_thresh: float = 1000.0
     compute_dtype: str = "float32"
 
 
@@ -61,8 +63,10 @@ class TraceTrainState(NamedTuple):
 
 
 def _optimizer(cfg: TraceTrainConfig):
-    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                       optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+    return optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                    optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)),
+        max_consecutive_errors=10000)
 
 
 def trace_init_train_state(params, cfg: TraceTrainConfig) -> TraceTrainState:
@@ -73,7 +77,7 @@ def trace_init_train_state(params, cfg: TraceTrainConfig) -> TraceTrainState:
 
 
 def trace_compute_losses(trainable, bn_state, batch,
-                         cfg: TraceTrainConfig):
+                         cfg: TraceTrainConfig, prior=None):
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     store = ParamStore({**trainable, **bn_state}, train=True,
                        compute_dtype=dt)
@@ -139,7 +143,7 @@ def trace_compute_losses(trainable, bn_state, batch,
         loss_tshape = temporal_shape_consistency_loss(
             params_pred[..., 138:149], valid)
 
-        all_metrics.append({
+        m = {
             "centermap3d": cfg.centermap3d_weight * loss_cm,
             "motion": cfg.motion_weight * loss_motion,
             "pose": cfg.pose_weight * loss_pose,
@@ -147,18 +151,27 @@ def trace_compute_losses(trainable, bn_state, batch,
             "world_trans": cfg.world_trans_weight * loss_wtrans,
             "world_grot": cfg.world_grot_weight * loss_wgrot,
             "temp_shape": cfg.temp_shape_weight * loss_tshape,
-        })
+        }
+        if prior is not None and cfg.prior_weight > 0:
+            from romp_tpu.train.priors import gmm_prior_loss
+
+            m["prior"] = cfg.prior_weight * gmm_prior_loss(
+                prior, pose_pred.reshape(N * T, 63), w.reshape(-1))
+        all_metrics.append(m)
     loss_dict = {k: sum(m[k] for m in all_metrics) / B
                  for k in all_metrics[0]}
-    total = sum(loss_dict.values())
-    return total, (store.stats_updates, {**loss_dict, "total": total})
+    from romp_tpu.train.loss_merger import merge_losses
+
+    total, metrics = merge_losses(loss_dict, cfg.loss_thresh)
+    return total, (store.stats_updates, metrics)
 
 
-def trace_train_step(state: TraceTrainState, batch, cfg: TraceTrainConfig
+def trace_train_step(state: TraceTrainState, batch, cfg: TraceTrainConfig,
+                     prior=None
                      ) -> Tuple[TraceTrainState, Dict[str, jax.Array]]:
     grad_fn = jax.value_and_grad(trace_compute_losses, has_aux=True)
     (_, (bn_updates, metrics)), grads = grad_fn(
-        state.trainable, state.bn_state, batch, cfg)
+        state.trainable, state.bn_state, batch, cfg, prior)
     updates, opt_state = _optimizer(cfg).update(grads, state.opt_state,
                                                 state.trainable)
     trainable = optax.apply_updates(state.trainable, updates)

@@ -46,6 +46,12 @@ class TrainConfig:
     pampjpe_weight: float = 360.0
     pose_weight: float = 80.0
     shape_weight: float = 6.0
+    prior_weight: float = 1.6          # GMM pose prior (configs/v1.yml:45)
+    angle_prior_weight: float = 0.0    # SMPLify bend prior (off in the
+    # reference objective — prior_loss.py:114 is shipped but calc_loss only
+    # adds the GMM term; keep it available for SMPLify-style fitting)
+    loss_thresh: float = 1000.0        # per-loss clamp (learnable_loss.py:50)
+    new_training: bool = False         # det-only warmup (learnable_loss.py:45)
     compute_dtype: str = "float32"
     cam_scale_base: float = 1.1
     match_pred_centers: bool = False   # matching_forward refinement
@@ -70,9 +76,15 @@ def split_params(params: Dict[str, jax.Array]):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+    # apply_if_finite = the reference's NaN-loss step skip
+    # (`romp/train.py:45-46`), done on-device: a step with non-finite
+    # gradients leaves params untouched instead of poisoning them.
+    return optax.apply_if_finite(
+        optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+        ),
+        max_consecutive_errors=10000,
     )
 
 
@@ -84,7 +96,7 @@ def init_train_state(params: Dict[str, jax.Array],
 
 
 def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
-                   cfg: TrainConfig):
+                   cfg: TrainConfig, prior=None):
     """Forward + composite loss. Returns (total, (bn_updates, metrics)).
 
     batch keys (all fixed-shape):
@@ -163,13 +175,17 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
 
     kp3d_w = w * flat(batch["kp3d_mask"]).astype(jnp.float32)
     pose_w = w * flat(batch["pose_mask"]).astype(jnp.float32)
+    # bbox-only persons (CrowdHuman-style) supervise the centermap only
+    # (vmask_2d[:,0]=False in the reference); kp2d_mask excludes them here.
+    kp2d_w = w * flat(batch["kp2d_mask"]).astype(jnp.float32) \
+        if "kp2d_mask" in batch else w
     j54 = joints[:, :54]
 
     loss_dict = {
         "centermap": cfg.centermap_weight * losses.focal_heatmap_loss(
             center_maps[..., 0], centermap_gt),
         "kp2d": cfg.kp2d_weight * losses.kp2d_l2_loss(
-            flat(batch["kp2d_gt"]), pj2d[:, :54], w),
+            flat(batch["kp2d_gt"]), pj2d[:, :54], kp2d_w),
         "mpjpe": cfg.mpjpe_weight * losses.mpjpe_loss(
             flat(batch["kp3d_gt"]), j54, kp3d_w),
         "pampjpe": cfg.pampjpe_weight * losses.pampjpe_loss(
@@ -180,22 +196,45 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
             flat(batch["betas_gt"]), out["smpl_betas"].reshape(B * P, -1),
             w, flat(batch["betas_mask"]).astype(jnp.float32)),
     }
-    total = sum(loss_dict.values())
-    metrics = {**loss_dict, "total": total}
+    if prior is not None and cfg.prior_weight > 0:
+        # GMM max-mixture pose prior on the body pose (no global orient),
+        # /100 + low-value gating inside gmm_prior_loss
+        # (`calc_loss.py:151-155`); weight from configs/v1.yml:45.
+        from romp_tpu.train.priors import angle_prior, gmm_prior_loss
+
+        body_pose = flat(out["smpl_thetas"])[:, 3:66]
+        loss_dict["prior"] = cfg.prior_weight * gmm_prior_loss(
+            prior, body_pose, w)
+        if cfg.angle_prior_weight > 0:
+            bend = angle_prior(flat(out["smpl_thetas"]))
+            loss_dict["prior"] = loss_dict["prior"] + (
+                cfg.angle_prior_weight
+                * jnp.sum(bend * w) / (jnp.sum(w) + 1e-6))
+
+    from romp_tpu.train.loss_merger import merge_losses
+
+    total, metrics = merge_losses(loss_dict, cfg.loss_thresh,
+                                  cfg.new_training)
     return total, (store.stats_updates, metrics)
 
 
 def train_step(state: TrainState, batch, smpl: SmplModel, cfg: TrainConfig,
-               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+               prior=None) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One SGD step. jit this with cfg static; under a Mesh with the batch
     sharded on "data", gradients/BN stats are globally correct SPMD."""
     grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
     (_, (bn_updates, metrics)), grads = grad_fn(
-        state.trainable, state.bn_state, batch, smpl, cfg)
+        state.trainable, state.bn_state, batch, smpl, cfg, prior)
     updates, opt_state = make_optimizer(cfg).update(
         grads, state.opt_state, state.trainable)
     trainable = optax.apply_updates(state.trainable, updates)
-    bn_state = {**state.bn_state, **bn_updates}
+    finite = jnp.all(jnp.asarray([jnp.all(jnp.isfinite(g))
+                                  for g in jax.tree_util.tree_leaves(grads)]))
+    metrics["grads_finite"] = finite.astype(jnp.float32)
+    # BN stats follow the same skip rule as params on a non-finite step.
+    bn_state = {k: jnp.where(finite, bn_updates.get(k, state.bn_state[k]),
+                             state.bn_state[k])
+                for k in state.bn_state}
     return TrainState(trainable, bn_state, opt_state,
                       state.step + 1), metrics
 

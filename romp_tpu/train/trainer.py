@@ -79,9 +79,21 @@ class Trainer:
             pampjpe_weight=cfg.loss.pampjpe_weight,
             pose_weight=cfg.loss.pose_weight,
             shape_weight=cfg.loss.shape_weight,
+            prior_weight=cfg.loss.prior_weight,
+            loss_thresh=cfg.loss.loss_thresh,
             compute_dtype=cfg.train.compute_dtype,
             cam_scale_base=cfg.model.cam_scale_base,
         )
+        # GMM pose prior: load the packed reference asset (gmm_08.pkl /
+        # .npz via GmmPrior.load) when configured; otherwise a synthetic
+        # moment-matched GMM keeps the term active (calc_loss.py:151-155).
+        from romp_tpu.train.priors import GmmPrior
+
+        if self.tcfg.prior_weight > 0:
+            path = cfg.loss.prior_path
+            self.prior = GmmPrior.load(path) if path else GmmPrior.synthetic()
+        else:
+            self.prior = None
         if params is None:
             params = init_romp_params(
                 jax.random.PRNGKey(cfg.train.seed),
@@ -90,7 +102,7 @@ class Trainer:
         state = init_train_state(params, self.tcfg)
         self.state = replicate_tree(state, self.mesh)
         self._step = jax.jit(
-            lambda s, b: train_step(s, b, self.smpl, self.tcfg),
+            lambda s, b: train_step(s, b, self.smpl, self.tcfg, self.prior),
             donate_argnums=(0,))
         self.best_val = float("inf")
         os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
@@ -114,10 +126,12 @@ class Trainer:
             batch = shard_batch(batch, self.mesh, self.cfg.mesh.data_axis)
             new_state, metrics = self._step(self.state, batch)
             total = float(metrics["total"])
-            if not np.isfinite(total):
-                # NaN-loss skip (reference `romp/train.py:45-46`); the old
-                # state was donated, so materialize metrics and keep going
-                # with the new state only if it is finite — otherwise stop.
+            if (not np.isfinite(total)
+                    or float(metrics.get("grads_finite", 1.0)) < 0.5):
+                # NaN skip (reference `romp/train.py:45-46`). The update was
+                # already rejected ON DEVICE (optax.apply_if_finite keeps
+                # params/BN untouched on a non-finite step); here we just
+                # count and log it.
                 n_skipped += 1
                 self._log({"step": i, "event": "nan_skip"})
                 self.state = new_state

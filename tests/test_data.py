@@ -45,7 +45,7 @@ def test_augment_output_contract(tmp_path):
 
     cfg = AugmentConfig(input_size=256)
     for trial in range(8):
-        img, k2, k3, po = augment_sample(
+        img, k2, k3, po, _ = augment_sample(
             image, kp2ds.copy(), kp3ds.copy(), poses.copy(), cfg,
             np.random.RandomState(trial), train=True)
         assert img.shape == (256, 256, 3)

@@ -7,8 +7,9 @@ import jax.numpy as jnp
 from romp_tpu.train.priors import (
     GmmPrior, angle_prior, gmm_prior_loss, gmm_prior_nll,
 )
+from romp_tpu.train.loss_merger import clamp_loss, merge_losses
 from romp_tpu.train.relative_losses import (
-    age_group_loss, clamp_losses, kid_offset_loss, relative_depth_loss,
+    age_group_loss, kid_offset_loss, relative_depth_loss,
 )
 
 torch = pytest.importorskip("torch")
@@ -83,7 +84,37 @@ def test_age_and_kid_offset_losses():
     np.testing.assert_allclose(ko, ((0.1 - 0.2) ** 2) / 2, rtol=1e-4)
 
 
-def test_clamp_losses():
-    d = clamp_losses({"a": jnp.asarray(5.0), "b": jnp.asarray(1e9)},
-                     thresh=1000.0)
-    assert float(d["a"]) == 5.0 and float(d["b"]) == 1000.0
+def test_clamp_loss_preserves_gradient_direction():
+    """Reference semantics (`learnable_loss.py:53-56`): an exploding loss is
+    rescaled to loss_thresh but keeps a (scaled-down) gradient — not a hard
+    min that would zero the gradient."""
+    import jax
+
+    assert float(clamp_loss(jnp.asarray(5.0), 1000.0)) == 5.0
+    assert abs(float(clamp_loss(jnp.asarray(1e9), 1000.0)) - 1000.0) < 1e-3
+    # NaN losses are dropped (contribute 0), matching :52
+    assert float(clamp_loss(jnp.asarray(float("nan")), 1000.0)) == 0.0
+
+    g_small = jax.grad(lambda x: clamp_loss(x ** 2, 1000.0))(jnp.asarray(2.0))
+    g_big = jax.grad(lambda x: clamp_loss(x ** 2, 1000.0))(jnp.asarray(1e4))
+    np.testing.assert_allclose(float(g_small), 4.0, rtol=1e-5)
+    assert float(g_big) > 0.0  # direction kept, magnitude scaled
+
+
+def test_merge_losses_groups_and_warmup():
+    d = {"centermap": jnp.asarray(2.0), "mpjpe": jnp.asarray(3.0),
+         "prior": jnp.asarray(1.0), "rdepth": jnp.asarray(0.5),
+         "custom": jnp.asarray(0.25)}
+    total, m = merge_losses(d)
+    np.testing.assert_allclose(float(total), 6.75, rtol=1e-6)
+    np.testing.assert_allclose(float(m["task_det"]), 2.0)
+    np.testing.assert_allclose(float(m["task_reg"]), 4.0)
+    np.testing.assert_allclose(float(m["task_rel"]), 0.5)
+    np.testing.assert_allclose(float(m["task_others"]), 0.25)
+
+    # det-only warmup (`learnable_loss.py:45-47`): only detection losses
+    # train; the 3D centermap is scaled by 1/1000
+    d3 = {**d, "centermap3d": jnp.asarray(500.0)}
+    total_w, m_w = merge_losses(d3, new_training=True)
+    np.testing.assert_allclose(float(total_w), 2.0 + 0.5, rtol=1e-6)
+    assert float(m_w["task_reg"]) > 0  # still reported for logging

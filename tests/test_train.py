@@ -155,3 +155,80 @@ def test_train_step_with_pred_center_matching():
     assert np.isfinite(float(m1["total"]))
     s, m = step(s1, batch)
     assert np.isfinite(float(m["total"]))
+
+
+def test_prior_term_nonzero_and_gradient_connected():
+    """VERDICT r1 #1: the GMM prior must be part of the objective — nonzero
+    on an implausible pose and gradient-connected to the pose input."""
+    from romp_tpu.train.priors import GmmPrior, gmm_prior_loss
+
+    prior = GmmPrior.synthetic(seed=0)
+    w = jnp.ones(2)
+
+    def f(pose):
+        return gmm_prior_loss(prior, pose, w)
+
+    far_pose = jnp.full((2, 63), 4.0)  # wildly implausible body pose
+    val = float(f(far_pose))
+    assert val > 0.0
+    g = jax.grad(f)(far_pose)
+    assert float(jnp.abs(g).sum()) > 0.0
+
+
+@pytest.mark.slow
+def test_train_step_with_prior_and_merger():
+    """Full step with the GMM prior wired: 'prior' appears in metrics, is
+    finite, and task-grouped sums are reported (learnable_loss parity)."""
+    from romp_tpu.train.priors import GmmPrior
+
+    cfg = TrainConfig()
+    prior = GmmPrior.synthetic(seed=0)
+    params = init_romp_params(jax.random.PRNGKey(0), input_size=64)
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    state = init_train_state(params, cfg)
+    batch = make_synthetic_batch(jax.random.PRNGKey(1), batch_size=2,
+                                 num_person=2, input_size=64)
+    step = jax.jit(lambda s, b: train_step(s, b, smpl, cfg, prior))
+    s1, m1 = step(state, batch)
+    assert "prior" in m1 and np.isfinite(float(m1["prior"]))
+    assert "task_det" in m1 and "task_reg" in m1
+    assert np.isfinite(float(m1["total"]))
+    # the merged total includes every clamped loss
+    keys = ("centermap", "kp2d", "mpjpe", "pampjpe", "pose", "shape", "prior")
+    np.testing.assert_allclose(
+        float(m1["total"]), sum(float(m1[k]) for k in keys), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_step_new_training_det_only():
+    """Det-only warmup: reg losses are reported but only detection trains
+    (`learnable_loss.py:45-47`)."""
+    cfg = TrainConfig(new_training=True)
+    params = init_romp_params(jax.random.PRNGKey(0), input_size=64)
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    state = init_train_state(params, cfg)
+    batch = make_synthetic_batch(jax.random.PRNGKey(1), batch_size=2,
+                                 num_person=2, input_size=64)
+    step = jax.jit(lambda s, b: train_step(s, b, smpl, cfg))
+    _, m = step(state, batch)
+    np.testing.assert_allclose(float(m["total"]), float(m["centermap"]),
+                               rtol=1e-5)
+
+
+def test_pampjpe_joint_masking():
+    """Invalid joints (-2) are excluded from the Procrustes solve: an
+    aligned-identical prediction with garbage on masked joints scores 0."""
+    rng = np.random.RandomState(0)
+    gt = rng.randn(2, 24, 3).astype(np.float32)
+    gt[:, 20:] = -2.0                      # invalid joints
+    pred = gt.copy()
+    pred[:, 20:] = rng.randn(2, 4, 3) * 5  # garbage on invalid joints
+    err = float(losses.pampjpe_loss(jnp.asarray(gt), jnp.asarray(pred),
+                                    jnp.ones(2)))
+    assert err < 1e-4
+    # and a person with <3 valid joints is dropped, not NaN
+    gt2 = np.full((1, 24, 3), -2.0, np.float32)
+    e2 = float(losses.pampjpe_loss(jnp.asarray(gt2),
+                                   jnp.asarray(rng.randn(1, 24, 3)),
+                                   jnp.ones(1)))
+    assert np.isfinite(e2)
