@@ -78,6 +78,8 @@ def main():
     from romp_tpu.pipeline.trace_pipeline import TraceConfig, TracePipeline
     from romp_tpu.pipeline.trace_tracking import SeqConfig
 
+    from romp_tpu.models.raft import init_raft_params, make_trace_flow_fn
+
     tparams = init_trace_params(jax.random.PRNGKey(0), clip_length=8)
     tparams.update({k: v for k, v in _irp(jax.random.PRNGKey(1)).items()
                     if k.startswith("backbone.")})
@@ -85,18 +87,24 @@ def main():
                       compute_dtype="bfloat16", act_dtype="bfloat16")
     sc = SeqConfig(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
                    tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
-    pipe = TracePipeline(tparams, adult, baby, cfg, sc)
+    raft_params = init_raft_params(jax.random.PRNGKey(2))
+    flow_fn = make_trace_flow_fn(raft_params, iters=12)
     frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
-    pipe.process_clip(frames)
-
-    def run_clip():
+    for name, ffn in (("trace_clip8", flow_fn),
+                      ("trace_clip8_zeroflow", None)):
+        pipe = TracePipeline(tparams, adult, baby, cfg, sc, flow_fn=ffn)
         pipe.process_clip(frames)
 
-    t = _measure(run_clip, iters=5, warmup=1)
-    results.append({"model": "trace_clip8", "batch": 8,
-                    "img_s": round(8 / t, 1),
-                    "p50_clip_ms": round(t * 1e3, 1)})
-    print(json.dumps(results[-1]), flush=True)
+        def run_clip():
+            pipe.process_clip(frames)
+
+        t = _measure(run_clip, iters=5, warmup=1)
+        results.append({"model": name, "batch": 8,
+                        "img_s": round(8 / t, 1),
+                        "p50_clip_ms": round(t * 1e3, 1),
+                        "note": "full pipeline incl. RAFT flow + host "
+                                "tracking" if ffn else "flow disabled"})
+        print(json.dumps(results[-1]), flush=True)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_ALL.json"), "w") as f:

@@ -186,3 +186,95 @@ def evaluate_tracking(gt: Dict[int, Frame], pred: Dict[int, Frame],
     out.update(id_f1(gt, pred, sim))
     out.update(hota(gt, pred, sim))
     return out
+
+
+# ------------------------------------------------------------- track-mAP --
+# TrackEval's TrackMAP (`TrackEval/trackeval/metrics/track_map.py`):
+# tracks are spatio-temporal tubes; IoU between two tracks is
+# sum-of-frame-intersections / sum-of-frame-unions (missing frames count
+# their full box toward the union, :350-398), matched greedily per IoU
+# threshold and accumulated with the COCO 101-point AP (TAO protocol),
+# including the TAO area/time track subsets.
+
+TRACKMAP_AREA_RANGES = {"area_s": (0.0, 32.0 ** 2),
+                        "area_m": (32.0 ** 2, 96.0 ** 2),
+                        "area_l": (96.0 ** 2, 1e5 ** 2)}
+TRACKMAP_TIME_RANGES = {"time_s": (0, 3), "time_m": (3, 10),
+                        "time_l": (10, 1e5)}
+
+
+def track_bbox_iou(dt_track: Dict[int, np.ndarray],
+                   gt_track: Dict[int, np.ndarray]) -> float:
+    """Spatio-temporal IoU of two (frame -> xywh box) tracks
+    (`track_map.py:350` _compute_bb_track_iou)."""
+    intersect = 0.0
+    union = 0.0
+    for f in set(gt_track) | set(dt_track):
+        g = gt_track.get(f)
+        d = dt_track.get(f)
+        if d is not None and g is not None:
+            dx, dy, dw, dh = d
+            gx, gy, gw, gh = g
+            w = max(min(dx + dw, gx + gw) - max(dx, gx), 0.0)
+            h = max(min(dy + dh, gy + gh) - max(dy, gy), 0.0)
+            i = w * h
+            intersect += i
+            union += dw * dh + gw * gh - i
+        elif g is not None:
+            union += g[2] * g[3]
+        elif d is not None:
+            union += d[2] * d[3]
+    return intersect / union if union > 0 else 0.0
+
+
+def track_map(sequences, iou_thrs=None) -> Dict[str, float]:
+    """Track-mAP over sequences.
+
+    sequences: list of dicts with
+      gt_tracks: {tid: {frame: (x, y, w, h)}}
+      dt_tracks: {tid: {frame: (x, y, w, h)}}
+      dt_scores: {tid: float}
+    Returns TrackAP (mean over IoU .5:.95), TrackAP50/75, and the TAO
+    area/time subset APs.
+    """
+    from romp_tpu.eval.keypoint_ap import IOU_THRS, evaluate_ap
+
+    iou_thrs = IOU_THRS if iou_thrs is None else np.asarray(iou_thrs)
+    buckets: Dict[str, list] = {"all": []}
+    for name in list(TRACKMAP_AREA_RANGES) + list(TRACKMAP_TIME_RANGES):
+        buckets[name] = []
+
+    for seq in sequences:
+        gt_ids = sorted(seq["gt_tracks"])
+        dt_ids = sorted(seq["dt_tracks"])
+        gts = [seq["gt_tracks"][i] for i in gt_ids]
+        dts = [seq["dt_tracks"][i] for i in dt_ids]
+        scores = np.asarray([seq["dt_scores"][i] for i in dt_ids],
+                            np.float64)
+        ious = np.zeros((len(dts), len(gts)))
+        for i, d in enumerate(dts):
+            for j, g in enumerate(gts):
+                ious[i, j] = track_bbox_iou(d, g)
+        areas = np.asarray([np.mean([b[2] * b[3] for b in g.values()])
+                            for g in gts]) if gts else np.zeros(0)
+        lengths = np.asarray([len(g) for g in gts])
+        base = {"ious": ious, "dt_scores": scores}
+        buckets["all"].append({**base,
+                               "gt_ignore": np.zeros(len(gts), bool)})
+        for name, (lo, hi) in TRACKMAP_AREA_RANGES.items():
+            ig = ~((areas >= lo) & (areas <= hi))
+            buckets[name].append({**base, "gt_ignore": ig})
+        for name, (lo, hi) in TRACKMAP_TIME_RANGES.items():
+            ig = ~((lengths >= lo) & (lengths <= hi))
+            buckets[name].append({**base, "gt_ignore": ig})
+
+    out: Dict[str, float] = {}
+    for name, recs in buckets.items():
+        r = evaluate_ap(recs, iou_thrs)
+        if name == "all":
+            out["TrackAP"] = r["AP"]
+            out["TrackAP50"] = r["AP50"]
+            out["TrackAP75"] = r["AP75"]
+        else:
+            out[f"TrackAP_{name}"] = r["AP"]
+    return out

@@ -92,23 +92,51 @@ def build_corr_pyramid(fmap1: jax.Array, fmap2: jax.Array
 def corr_lookup(pyramid: List[jax.Array], coords: jax.Array,
                 radius: int = CORR_RADIUS) -> jax.Array:
     """coords: (B, H, W, 2) (x, y) target positions. Returns
-    (B, H, W, LEVELS*(2r+1)^2) sampled correlation features."""
+    (B, H, W, LEVELS*(2r+1)^2) sampled correlation features.
+
+    TPU formulation: all (2r+1)^2 window taps share one fractional offset,
+    so the whole window is two one-hot contractions (rows then cols — MXU
+    batched matmuls, out-of-range rows/cols are all-zero = zero padding)
+    followed by a 2x2 bilinear blend of the (2r+2)^2 integer patch.
+    Per-point gathers here lower to scalar loops on TPU and dominated RAFT's
+    runtime (~127M gathered points for a 12-iteration 512^2 clip).
+    """
     B, H, W, _ = coords.shape
     r = radius
-    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    # RAFT quirk kept for channel-order checkpoint parity: the window's
-    # FIRST axis offsets x and the second offsets y
-    # (`raft/corr.py:37-42`: delta=(dy,dx) is added to (x,y) coords).
-    da, db = jnp.meshgrid(d, d, indexing="ij")
+    W2 = 2 * r + 2
     outs = []
     for i, corr in enumerate(pyramid):
-        c = coords.reshape(B, H * W, 1, 2) / (2 ** i)
-        ys = c[..., 1] + db.reshape(1, 1, -1)
-        xs = c[..., 0] + da.reshape(1, 1, -1)
-        lvl = corr.reshape(B * H * W, *corr.shape[2:], 1)
-        sampled = jax.vmap(bilinear_sample)(
-            lvl, ys.reshape(B * H * W, -1), xs.reshape(B * H * W, -1))
-        outs.append(sampled.reshape(B, H, W, -1))
+        Hi, Wi = corr.shape[2:]
+        maps = corr.reshape(B, H * W, Hi, Wi)
+        c = coords.reshape(B, H * W, 2) / (2 ** i)
+        x, y = c[..., 0], c[..., 1]
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        fy = (y - y0)[..., None, None]                    # (B, P, 1, 1)
+        fx = (x - x0)[..., None, None]
+
+        j = jnp.arange(W2, dtype=jnp.int32) - r           # window offsets
+        rows_idx = y0.astype(jnp.int32)[..., None] + j    # (B, P, W2)
+        cols_idx = x0.astype(jnp.int32)[..., None] + j
+        wr = (rows_idx[..., None]
+              == jnp.arange(Hi, dtype=jnp.int32)).astype(maps.dtype)
+        wc = (cols_idx[..., None]
+              == jnp.arange(Wi, dtype=jnp.int32)).astype(maps.dtype)
+        rows = jnp.einsum("bpjh,bphw->bpjw", wr, maps,
+                          preferred_element_type=jnp.float32)
+        patch = jnp.einsum("bpkw,bpjw->bpjk", wc, rows,
+                           preferred_element_type=jnp.float32)
+        # shared-fraction bilinear blend of the integer patch:
+        # out[dy, dx] = lerp_y(lerp_x(patch)) at window tap (dy, dx)
+        px = (patch[..., :, :-1] * (1.0 - fx)
+              + patch[..., :, 1:] * fx)                   # (B, P, W2, 2r+1)
+        win = (px[..., :-1, :] * (1.0 - fy)
+               + px[..., 1:, :] * fy)                     # (B, P, 2r+1, 2r+1)
+        # channel order parity with the reference (`raft/corr.py:37-42`):
+        # tap t = a*(2r+1)+b carries (dx=d[a], dy=d[b]) -> transpose so the
+        # x-offset axis is channel-major.
+        win = win.swapaxes(-1, -2)
+        outs.append(win.reshape(B, H, W, -1))
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -182,8 +210,8 @@ def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
 
     flow_low: (B, H/8, W/8, 2); flow_up: (B, H, W, 2), both (dx, dy).
     """
-    image1 = 2.0 * (image1 / 255.0) - 1.0
-    image2 = 2.0 * (image2 / 255.0) - 1.0
+    image1 = 2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0
+    image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
     fmap1 = basic_encoder(store, "fnet", image1, 256, "instance")
     fmap2 = basic_encoder(store, "fnet", image2, 256, "instance")
     pyramid = build_corr_pyramid(fmap1, fmap2)
@@ -198,16 +226,27 @@ def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
     coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (B, H, W, 2))
     coords1 = coords0
 
-    flow_up = None
-    for _ in range(iters):
-        corr = corr_lookup(pyramid, coords1)
-        flow = coords1 - coords0
+    # The recurrent refinement is a lax.scan: one compiled iteration body
+    # instead of `iters` unrolled copies (compile time at 512^2 goes from
+    # minutes to seconds). Inference only needs the FINAL convex upsample;
+    # the reference computes it per-iteration solely for its training loss
+    # (raft.py:24 flow_predictions list).
+    def step(carry, _):
+        net_c, coords1_c = carry
+        corr = corr_lookup(pyramid, coords1_c)
+        flow = coords1_c - coords0
         motion = _motion_encoder(store, flow, corr)
-        net = _sep_conv_gru(store, net, jnp.concatenate([inp, motion], -1))
-        delta = _flow_head(store, net)
-        coords1 = coords1 + delta
-        mask = _mask_head(store, net)
-        flow_up = upsample_flow_convex(coords1 - coords0, mask)
+        net_c = _sep_conv_gru(store, net_c,
+                              jnp.concatenate([inp, motion], -1))
+        delta = _flow_head(store, net_c)
+        return (net_c, coords1_c + delta), None
+
+    # materialize GRU params once so the scan body sees a complete store
+    (net, coords1), _ = step((net, coords1), None)
+    (net, coords1), _ = jax.lax.scan(step, (net, coords1), None,
+                                     length=iters - 1)
+    mask = _mask_head(store, net)
+    flow_up = upsample_flow_convex(coords1 - coords0, mask)
     return coords1 - coords0, flow_up
 
 

@@ -191,9 +191,12 @@ def extract_temporal_features(store: ParamStore, image_feature_maps: jax.Array,
     offsets = conv2d(store, "feature_offset_predictor", mo, 8 * 2 * 9, 3, 1)
     w = store.get("deform_warper.weight", (3, 3, BACKBONE_CH, BACKBONE_CH),
                   lambda r, s: jax.random.normal(r, s) * 0.02)
-    warped = deform_conv2d(image_feature_maps[1:].astype(jnp.float32),
-                           offsets.astype(jnp.float32),
-                           w.astype(jnp.float32), deform_groups=8)
+    # offsets (coordinates) stay f32; the VALUE matmuls inside follow the
+    # activation dtype (bf16 fast path halves the one-hot weight traffic).
+    warped = deform_conv2d(
+        image_feature_maps[1:].astype(store.act_dtype),
+        offsets.astype(jnp.float32), w.astype(store.act_dtype),
+        deform_groups=8)
     return temp_feats + warped + image_feature_maps[1:], hidden
 
 

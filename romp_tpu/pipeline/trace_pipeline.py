@@ -75,9 +75,11 @@ def _store(params, cfg: TraceConfig) -> ParamStore:
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def trace_extract_features(params, images, _unused, cfg: TraceConfig):
-    """(T, 512, 512, 3) RGB -> (T, 128, 128, 32) frozen-backbone features."""
+    """(T, 512, 512, 3) RGB (uint8 or float [0,255]) -> (T, 128, 128, 32)
+    frozen-backbone features. uint8 input keeps the host->device transfer
+    4x smaller — the dominant per-clip cost on a tunneled device."""
     store = _store(params, cfg)
-    x = (images / 255.0) * 2.0 - 1.0
+    x = (images.astype(jnp.float32) / 255.0) * 2.0 - 1.0
     return hrnet_w32(store, x, prefix="backbone").astype(jnp.float32)
 
 
@@ -158,6 +160,19 @@ def _trace_smpl_stage(params_pred, normed_cams, cam_rot, smpls,
 TAN_FOV_HALF_TRACE_J = float(np.tan(np.radians(25.0)))
 
 
+@jax.jit
+def _trace_gather_traj(mesh_feature_maps, cam_maps_3d, czyxs):
+    """Trajectory-position gathers fused into one device call.
+
+    czyxs: (N, T, 3) int. Returns (feat_traj (N, T, C), cams_init (N, T, 3)).
+    """
+    H = mesh_feature_maps.shape[1]
+    yx_flat = (czyxs[..., 1] * H + czyxs[..., 2]).T             # (T, N)
+    feat = sample_maps_at(mesh_feature_maps, yx_flat)           # (T, N, C)
+    cams = _sample3d(cam_maps_3d, czyxs.transpose(1, 0, 2))     # (T, N, 3)
+    return feat.transpose(1, 0, 2), cams.transpose(1, 0, 2)
+
+
 class TracePipeline:
     """Stateful sequence processor (one per video / signal)."""
 
@@ -172,7 +187,22 @@ class TracePipeline:
         self.cfg = cfg or TraceConfig()
         self.seq_cfg = seq_cfg or SeqConfig()
         self.flow_fn = flow_fn
+        self.profile = False           # fills stage_times per clip when True
+        self.stage_times: Dict[str, float] = {}
         self.reset()
+
+    def _tick(self, name: str, t0: float, sync=None) -> float:
+        """Record a stage duration; `sync` forces a device fetch so the
+        timing is real on async/remote backends."""
+        import time as _time
+
+        if not self.profile:
+            return 0.0
+        if sync is not None:
+            np.asarray(sync)
+        t1 = _time.perf_counter()
+        self.stage_times[name] = self.stage_times.get(name, 0.0) + t1 - t0
+        return t1
 
     def reset(self):
         self.hidden = None
@@ -185,10 +215,22 @@ class TracePipeline:
     def process_clip(self, frames: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
         """frames: (T, 512, 512, 3) float RGB [0, 255]. Returns per-person
         results for each frame of the clip (flattened N x T entries)."""
+        import time as _time
+
         cfg = self.cfg
         T = frames.shape[0]
-        feats = trace_extract_features(self.params, jnp.asarray(frames),
-                                       None, cfg)
+        self.stage_times = {}
+        t0 = _time.perf_counter()
+        # ONE uint8 upload of the clip, shared by backbone and flow (a
+        # float32 upload of 8x512x512x3 is ~25 MB — the single biggest cost
+        # per clip on the tunneled device).
+        if frames.dtype != np.uint8:
+            frames_u8 = np.clip(frames, 0, 255).astype(np.uint8)
+        else:
+            frames_u8 = frames
+        frames_dev = jnp.asarray(frames_u8)
+        feats = trace_extract_features(self.params, frames_dev, None, cfg)
+        t0 = self._tick("backbone", t0, sync=feats[0, 0, 0, 0])
         # prepend previous clip's last feature map (`trace2/main.py:66-77`)
         if self.last_feature_map is None:
             feats_full = jnp.concatenate([feats[:1], feats], axis=0)
@@ -199,16 +241,19 @@ class TracePipeline:
 
         if self.flow_fn is not None:
             prev = (self.last_frame if self.last_frame is not None
-                    else frames[0])
-            frames_prev = np.concatenate([prev[None], frames[:-1]], axis=0)
-            flows = self.flow_fn(frames_prev, frames)
+                    else frames_dev[:1])
+            # frame pairs assembled ON DEVICE — no second clip upload
+            frames_prev = jnp.concatenate([prev, frames_dev[:-1]], axis=0)
+            flows = self.flow_fn(frames_prev, frames_dev)
+            t0 = self._tick("flow", t0, sync=flows[0, 0, 0, 0])
         else:
             flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
-        self.last_frame = frames[-1]
+        self.last_frame = frames_dev[-1:]
 
         maps, self.hidden, det, cams, motions, feats_det, init_cams = \
             trace_maps_and_detect(self.params, feats_full, flows,
                                   self.hidden, cfg)
+        t0 = self._tick("maps_detect", t0, sync=det.scores)
 
         # ---- host: tracking + memory ----
         det_np = {k: np.asarray(v) for k, v in
@@ -227,24 +272,26 @@ class TracePipeline:
             self.tracker)
         if traj is None:
             return None
+        t0 = self._tick("host_tracking", t0)
 
-        # sample features along (completed) trajectories, gate with memory
+        # sample features + init cams along (completed) trajectories in ONE
+        # jitted call (eager per-op gathers cost a device round trip EACH on
+        # remote-tunneled backends), then gate with the host memory5D.
         N = traj.czyxs.shape[0]
-        yx_flat = (traj.czyxs[..., 1] * OUTMAP
-                   + traj.czyxs[..., 2]).T             # (T, N)
-        feat_traj = np.asarray(sample_maps_at(
-            maps.mesh_feature_maps, jnp.asarray(yx_flat))).transpose(1, 0, 2)
+        feat_traj, cams_init_traj = map(np.asarray, _trace_gather_traj(
+            maps.mesh_feature_maps, maps.cam_maps_3d,
+            jnp.asarray(traj.czyxs)))
+        t0 = self._tick("traj_gather", t0)
         feat_traj = gate_features_with_memory(traj, feat_traj, self.memory,
                                               self.seq_cfg)
-        cams_init_traj = np.asarray(_sample3d(
-            maps.cam_maps_3d, jnp.asarray(traj.czyxs.transpose(1, 0, 2))
-        )).transpose(1, 0, 2)
+        t0 = self._tick("memory_gate", t0)
 
         params_pred, normed_cams, cam_motion, cam_rot = trace_regress(
             self.params, jnp.asarray(feat_traj), jnp.asarray(cams_init_traj),
             jnp.asarray(traj.czyxs[..., 1:]), cfg, maps=maps)
         params_pred = np.asarray(params_pred)
         normed_cams = np.asarray(normed_cams)
+        t0 = self._tick("regress", t0)
 
         if self.seq_cfg.smooth_pose_shape:
             params_pred = np.concatenate([
@@ -256,6 +303,7 @@ class TracePipeline:
         world_cams = accumulate_world_cams(
             traj, normed_cams, np.asarray(cam_motion), self.memory,
             self.init_world_cams, self.seq_cfg)
+        t0 = self._tick("host_smooth_world", t0)
 
         # ---- device: SMPL + projection, ONE jitted call (eager op-by-op
         # here costs seconds per clip on remote-tunneled devices) ----
@@ -266,8 +314,9 @@ class TracePipeline:
                 (self.smpl_adult, self.smpl_baby), cfg.input_size)
         thetas, betas = np.asarray(thetas), np.asarray(betas)
         cam_trans = np.asarray(cam_trans)
+        t0 = self._tick("smpl_project", t0, sync=pj2d)
 
-        return {
+        out = {
             "track_ids": np.repeat(traj.track_ids, T),
             "frame_ids": np.tile(np.arange(T), N),
             "frame_valid": traj.frame_valid.reshape(-1),
@@ -275,10 +324,12 @@ class TracePipeline:
             "cam": normed_cams.reshape(N * T, 3),
             "cam_trans": cam_trans,
             "world_cams": world_cams.reshape(N * T, 3),
-            "world_grots": world_grots,
+            "world_grots": np.asarray(world_grots),
             "smpl_thetas": thetas,
             "smpl_betas": betas,
             "verts": np.asarray(verts),
             "joints": np.asarray(joints),
             "pj2d": np.asarray(pj2d),
         }
+        self._tick("fetch_results", t0)
+        return out

@@ -69,3 +69,39 @@ def test_hota_alpha_sensitivity_to_noise():
     h_clean = hota(gt, clean)["hota"]
     h_noisy = hota(gt, noisy)["hota"]
     assert h_clean > h_noisy
+
+
+def test_track_bbox_iou_hand_computed():
+    from romp_tpu.eval.mot_metrics import track_bbox_iou
+
+    # identical 2-frame tracks -> 1.0
+    t = {0: np.array([0, 0, 4, 4.0]), 1: np.array([1, 1, 4, 4.0])}
+    assert track_bbox_iou(t, t) == 1.0
+    # dt misses frame 1: intersect=16, union=16+16 -> 0.5
+    d = {0: np.array([0, 0, 4, 4.0])}
+    np.testing.assert_allclose(track_bbox_iou(d, t), 16 / 32)
+    # spatial half-overlap single frame
+    d2 = {0: np.array([2, 0, 4, 4.0])}
+    g2 = {0: np.array([0, 0, 4, 4.0])}
+    np.testing.assert_allclose(track_bbox_iou(d2, g2), 8 / 24)
+
+
+def test_track_map_perfect_and_partial():
+    from romp_tpu.eval.mot_metrics import track_map
+
+    gt = {1: {f: np.array([0, 0, 50, 50.0]) for f in range(5)},
+          2: {f: np.array([100, 100, 50, 50.0]) for f in range(20)}}
+    # perfect detections
+    seq_perfect = {"gt_tracks": gt, "dt_tracks": dict(gt),
+                   "dt_scores": {1: 0.9, 2: 0.8}}
+    out = track_map([seq_perfect])
+    np.testing.assert_allclose(out["TrackAP"], 1.0)
+    # time subsets: track 1 has 5 frames (time_m), track 2 has 20 (time_l)
+    np.testing.assert_allclose(out["TrackAP_time_m"], 1.0)
+    np.testing.assert_allclose(out["TrackAP_time_l"], 1.0)
+
+    # one track missed entirely -> AP = 51/101 (COCO interpolation)
+    seq_half = {"gt_tracks": gt, "dt_tracks": {1: gt[1]},
+                "dt_scores": {1: 0.9}}
+    out2 = track_map([seq_half])
+    np.testing.assert_allclose(out2["TrackAP"], 51 / 101, rtol=1e-9)
