@@ -1,0 +1,577 @@
+"""Official-protocol benchmark drivers: 3DPW challenge, Relative Human, MuPoTS.
+
+These ingest the benchmarks' ON-DISK formats (the official pkl/npz layouts)
+and reproduce the exact scoring rules, so results are comparable with
+published numbers. Generic tensor-level metrics live in
+`romp_tpu/eval/metrics.py`; these drivers wrap them with the file parsing,
+person matching, and accounting quirks each protocol specifies.
+
+Parity targets (all re-implemented, pure numpy/scipy — no code copied):
+- 3DPW challenge: `romp/lib/evaluation/pw3d_eval/evaluate.py` (valid-frame
+  selection :236-256, camera-space GT :213-233, MPJPE/PA :160-199,
+  PCK@50/AUC :55-79, MPJAE(_PA) :26-52,434-441).
+- Relative Human: `simple_romp/evaluation/RH_evaluation/evaluation.py`
+  (greedy 2D matching + F1 :162-224, mPCKh :71-88, PCRD with miss fine
+  :101-123) and `RH_evaluation/matching.py:51` (match_2d_greedy).
+- MuPoTS: `trace/lib/evaluation/mupots_util/` (matcher.py: bone-length
+  normalization, per-GT Procrustes 3D matching, Hungarian 2D matching;
+  evaluate.py: per-sequence grouped 3D-PCK@150 / AUC curves).
+"""
+from __future__ import annotations
+
+import glob
+import os.path as osp
+import pickle
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# =========================================================================
+# 3DPW challenge protocol
+# =========================================================================
+
+PW3D_PCK_THRESH = 50.0                       # mm (evaluate.py:12)
+PW3D_AUC_RANGE = np.arange(0.0, 200.0)       # mm thresholds (:425)
+# 12 "major" joints scored by PCK and the 9 joints scored by MPJAE
+PW3D_MAJOR_JOINTS = np.array([1, 2, 4, 5, 7, 8, 16, 17, 18, 19, 20, 21])
+PW3D_OR_JOINTS = np.array([0, 1, 2, 4, 5, 16, 17, 18, 19])
+
+
+def similarity_align_batch(pred: np.ndarray, gt: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame similarity (Procrustes) alignment of pred onto gt.
+
+    pred, gt: (N, J, 3). Returns (aligned pred (N, J, 3), R (N, 3, 3)).
+    Vectorized batched-SVD version of evaluate.py:82-147 (including its
+    all-zero-prediction fallback: GT mean + identity rotation).
+    """
+    mu1 = pred.mean(axis=1, keepdims=True)
+    mu2 = gt.mean(axis=1, keepdims=True)
+    x1 = pred - mu1
+    x2 = gt - mu2
+    var1 = np.sum(x1 ** 2, axis=(1, 2))                        # (N,)
+    K = np.einsum("nji,njk->nik", x1, x2)                      # (N, 3, 3)
+    U, s, Vh = np.linalg.svd(K)
+    V = np.swapaxes(Vh, 1, 2)
+    det = np.linalg.det(np.einsum("nij,nkj->nik", U, V))
+    Z = np.tile(np.eye(3), (len(pred), 1, 1))
+    Z[:, -1, -1] = np.sign(det)
+    R = np.einsum("nij,njk,nlk->nil", V, Z, U)                 # V Z U^T
+    scale = np.einsum("nii->n", np.einsum("nij,njk->nik", R, K)) \
+        / np.maximum(var1, 1e-12)
+    t = mu2 - scale[:, None, None] * np.einsum("nij,nkj->nki", R, mu1)
+    aligned = scale[:, None, None] * np.einsum("nij,nkj->nki", R, pred) + t
+    # degenerate all-zero predictions: GT centroid + identity (:143-147)
+    degenerate = np.sum(np.abs(pred), axis=(1, 2)) == 0
+    if degenerate.any():
+        aligned[degenerate] = gt[degenerate].mean(axis=1, keepdims=True)
+        R[degenerate] = np.eye(3)
+    return aligned, R
+
+
+def rotmat_geodesic_rad(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
+    """Geodesic angle between rotation-matrix arrays (..., 3, 3), radians.
+    Closed-form |log(R1 R2^T)| instead of the reference's cv2.Rodrigues
+    loop (evaluate.py:43-52) — identical values."""
+    r = np.einsum("...ij,...kj->...ik", r1, r2)
+    cos = np.clip((np.trace(r, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    return np.arccos(cos)
+
+
+def pw3d_score(jp_pred: np.ndarray, jp_gt: np.ndarray,
+               mats_pred: Optional[np.ndarray] = None,
+               mats_gt: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Score collected 3DPW-challenge arrays (evaluate.py:414-468).
+
+    jp_pred/jp_gt: (N, 24, 3) METERS (scored in mm, x1000 as :419);
+    mats_pred: (N, 9, 3, 3) global rotations at PW3D_OR_JOINTS;
+    mats_gt: (N, 24, 3, 3) global rotations for all SMPL joints.
+    """
+    pred = (jp_pred - jp_pred[:, :1]) * 1000.0   # root-align (:150-157)
+    gt = (jp_gt - jp_gt[:, :1]) * 1000.0
+    err = np.linalg.norm(gt - pred, axis=-1)                   # (N, 24)
+    aligned, proc_R = similarity_align_batch(pred, gt)
+    err_pa = np.linalg.norm(gt - aligned, axis=-1)
+
+    err_major = err[:, PW3D_MAJOR_JOINTS]                      # (N, 12)
+    pck = float((err_major <= PW3D_PCK_THRESH).mean() * 100.0)
+    # AUC: mean PCK over thresholds 0..199mm, x-axis normalized to [0, 1].
+    # quad() over the linear interpolant == trapezoid on the samples.
+    pcks = (err_major[None] <= PW3D_AUC_RANGE[:, None, None]).mean((1, 2))
+    xs = PW3D_AUC_RANGE / PW3D_AUC_RANGE.max()
+    auc = float(np.trapezoid(pcks, xs))
+
+    out = {"MPJPE": float(err.mean(axis=1).mean()),
+           "MPJPE_PA": float(err_pa.mean(axis=1).mean()),
+           "PCK": pck, "AUC": auc}
+    if mats_pred is not None and mats_gt is not None:
+        gt_or = mats_gt[:, PW3D_OR_JOINTS]
+        out["MPJAE"] = float(np.degrees(
+            rotmat_geodesic_rad(mats_pred, gt_or).mean()))
+        pred_pa = np.einsum("nij,nkjl->nkil", proc_R, mats_pred)
+        out["MPJAE_PA"] = float(np.degrees(
+            rotmat_geodesic_rad(pred_pa, gt_or).mean()))
+    return out
+
+
+def pw3d_valid_indices(poses2d: np.ndarray, campose_valid: np.ndarray
+                       ) -> np.ndarray:
+    """Frames scored by the challenge: 2D pose present AND camera pose
+    valid (evaluate.py:236-256)."""
+    has_pose = np.abs(poses2d).mean(axis=(1, 2)) != 0
+    return np.where(has_pose & np.asarray(campose_valid).astype(bool))[0]
+
+
+def pw3d_apply_camera(joints: np.ndarray, rotations: np.ndarray,
+                      cam_poses: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """World -> camera for GT joints and per-joint global rotations
+    (evaluate.py:213-233). cam_poses: (N, 4, 4) world-to-camera."""
+    jh = np.concatenate([joints, np.ones_like(joints[..., :1])], -1)
+    # reference right-multiplies by the TRANSPOSED camera matrix (:223)
+    jc = np.einsum("nji,nkj->nki", cam_poses, jh)[..., :3]
+    rc = np.einsum("nij,nkjl->nkil", cam_poses[:, :3, :3], rotations)
+    return jc, rc
+
+
+SmplFn = Callable[[str, np.ndarray, np.ndarray, np.ndarray],
+                  Tuple[np.ndarray, np.ndarray]]
+
+
+def make_gt_smpl_fn(models: Dict[str, "object"]) -> SmplFn:
+    """Build the GT SMPL forward the collector needs from our SmplModel zoo.
+
+    models: gender ('f'/'m'/'n') -> SmplModel. Returns
+    fn(gender, poses (N, 72), betas (N, 10), trans (N, 3)) ->
+    (joints24 (N, 24, 3) root-centered+trans, global rotmats (N, 24, 3, 3)),
+    matching pw3d_eval/SMPL.py's update() with center_idx=0.
+    """
+    import jax.numpy as jnp
+
+    from romp_tpu.ops.rotations import axis_angle_to_matrix
+    from romp_tpu.smpl.body_model import smpl_forward
+
+    def fn(gender, poses, betas, trans):
+        model = models[gender]
+        nb = model.num_betas
+        b = np.zeros((len(betas), nb), np.float32)
+        b[:, :min(nb, betas.shape[1])] = betas[:, :nb]
+        _, joints = smpl_forward(model, jnp.asarray(b),
+                                 jnp.asarray(poses, jnp.float32))
+        j24 = np.asarray(joints[:, :24])
+        j24 = j24 - j24[:, :1]                      # center_idx=0
+        j24 = j24 + np.asarray(trans)[:, None]
+        rots = np.asarray(axis_angle_to_matrix(
+            jnp.asarray(poses.reshape(-1, 24, 3), jnp.float32)))
+        glob = np.empty_like(rots)
+        glob[:, 0] = rots[:, 0]
+        for j in range(1, 24):
+            glob[:, j] = glob[:, model.parents[j]] @ rots[:, j]
+        return j24, glob
+
+    return fn
+
+
+def pw3d_collect(gt_files: Sequence[str], pred_files: Sequence[str],
+                 smpl_fn: SmplFn
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Read official GT/prediction pkl pairs (evaluate.py:259-368).
+
+    GT pkls carry genders/poses2d/campose_valid/poses/betas/trans/cam_poses;
+    prediction pkls carry 'jointPositions' (P, N, 72 or P, N, 24, 3) and
+    'orientations' (P, N, 9, 3, 3). Returns concatenated
+    (jp_pred, jp_gt, mats_pred, mats_gt).
+    """
+    jp_preds, jp_gts, rot_preds, rot_gts = [], [], [], []
+    for path_pred, path_gt in zip(pred_files, gt_files):
+        with open(path_gt, "rb") as f:
+            gt = pickle.load(f, encoding="latin1")
+        with open(path_pred, "rb") as f:
+            pred = pickle.load(f, encoding="latin1")
+        for i, gender in enumerate(gt["genders"]):
+            valid = pw3d_valid_indices(np.asarray(gt["poses2d"][i]),
+                                       gt["campose_valid"][i])
+            if "jointPositions" in pred:
+                jp = np.asarray(pred["jointPositions"])[i, valid]
+                jp_preds.append(jp.reshape(len(valid), 24, 3))
+            if "orientations" in pred:
+                rot_preds.append(np.asarray(pred["orientations"])[i, valid])
+            poses = np.asarray(gt["poses"])[i, valid]
+            betas = np.tile(np.asarray(gt["betas"][i])[None, :10],
+                            (len(valid), 1))
+            trans = np.asarray(gt["trans"])[i, valid]
+            j24, glob = smpl_fn(gender, poses, betas, trans)
+            cams = np.asarray(gt["cam_poses"])[valid]
+            j24, glob = pw3d_apply_camera(j24, glob, cams)
+            jp_gts.append(j24)
+            rot_gts.append(glob)
+    cat = lambda xs: (np.concatenate(xs, 0) if xs
+                      else np.zeros((0,)))
+    return cat(jp_preds), cat(jp_gts), cat(rot_preds), cat(rot_gts)
+
+
+def pw3d_evaluate(submit_dir: str, truth_dir: str,
+                  smpl_fn: SmplFn) -> Dict[str, float]:
+    """Official directory-layout entry point (evaluate.py:371-478):
+    <dir>/{train,validation,test}/*.pkl, sorted and paired by name."""
+    gts, preds = [], []
+    for split in ("train", "validation", "test"):
+        gts += sorted(glob.glob(osp.join(truth_dir, split, "*.pkl")))
+        preds += sorted(glob.glob(osp.join(submit_dir, split, "*.pkl")))
+    assert len(gts) == len(preds), (len(gts), len(preds))
+    jp_pred, jp_gt, mats_pred, mats_gt = pw3d_collect(
+        sorted(gts), sorted(preds), smpl_fn)
+    return pw3d_score(jp_pred, jp_gt,
+                      mats_pred if mats_pred.size else None,
+                      mats_gt if mats_gt.size else None)
+
+
+# =========================================================================
+# Relative Human protocol
+# =========================================================================
+
+RH_AGE_TYPES = ("adult", "teen", "kid", "baby")
+
+BK_19 = {"Head_top": 0, "Nose": 1, "Neck": 2, "L_Eye": 3, "R_Eye": 4,
+         "L_Shoulder": 5, "R_Shoulder": 6, "L_Elbow": 7, "R_Elbow": 8,
+         "L_Wrist": 9, "R_Wrist": 10, "L_Hip": 11, "R_Hip": 12,
+         "L_Knee": 13, "R_Knee": 14, "L_Ankle": 15, "R_Ankle": 16,
+         "L_BigToe": 17, "R_BigToe": 18}
+OCHUMAN_19 = {"R_Shoulder": 0, "R_Elbow": 1, "R_Wrist": 2, "L_Shoulder": 3,
+              "L_Elbow": 4, "L_Wrist": 5, "R_Hip": 6, "R_Knee": 7,
+              "R_Ankle": 8, "L_Hip": 9, "L_Knee": 10, "L_Ankle": 11,
+              "Head_top": 12, "Neck": 13, "R_Ear": 14, "L_Ear": 15,
+              "Nose": 16, "R_Eye": 17, "L_Eye": 18}
+CROWDPOSE_14 = {"L_Shoulder": 0, "R_Shoulder": 1, "L_Elbow": 2,
+                "R_Elbow": 3, "L_Wrist": 4, "R_Wrist": 5, "L_Hip": 6,
+                "R_Hip": 7, "L_Knee": 8, "R_Knee": 9, "L_Ankle": 10,
+                "R_Ankle": 11, "Head_top": 12, "Neck_LSP": 13}
+
+
+def joint_mapping(source: Dict[str, int], target: Dict[str, int]
+                  ) -> np.ndarray:
+    mapping = np.full(len(target), -1, np.int32)
+    for name, ti in target.items():
+        if name in source:
+            mapping[ti] = source[name]
+    return mapping
+
+
+def _kp_bbox_iou(p1: np.ndarray, p2: np.ndarray) -> float:
+    """IoU of the keypoint-extent boxes (matching.py:7-49, +1 conventions
+    kept)."""
+    lo1, hi1 = p1.min(0), p1.max(0)
+    lo2, hi2 = p2.min(0), p2.max(0)
+    iw = max(0.0, min(hi1[0], hi2[0]) - max(lo1[0], lo2[0]) + 1)
+    ih = max(0.0, min(hi1[1], hi2[1]) - max(lo1[1], lo2[1]) + 1)
+    inter = iw * ih
+    a1 = (hi1[0] - lo1[0] + 1) * (hi1[1] - lo1[1] + 1)
+    a2 = (hi2[0] - lo2[0] + 1) * (hi2[1] - lo2[1] + 1)
+    return inter / float(a1 + a2 - inter)
+
+
+def match_2d_greedy(pred_kps: np.ndarray, gt_kps: np.ndarray,
+                    valid_mask: np.ndarray, iou_thresh: float = 0.05
+                    ) -> Tuple[np.ndarray, List[int], List[int]]:
+    """Greedy lowest-L2 matching with keypoint-bbox IoU gating
+    (matching.py:51-171). pred_kps: (P, J, 2+); gt_kps: (G, J, 2);
+    valid_mask: (G, J) bool. Returns (bestMatch (M, 2) [pred, gt] pairs,
+    falsePositives pred ids, misses gt ids)."""
+    P, G = len(pred_kps), len(gt_kps)
+    errs = np.full((P, G), np.inf)
+    for p in range(P):
+        for g in range(G):
+            v = valid_mask[g]
+            errs[p, g] = np.linalg.norm(
+                pred_kps[p][v, :2] - gt_kps[g][v, :2])
+    pred_used = np.zeros(P, bool)
+    gt_used = np.zeros(G, bool)
+    best = []
+    fp_count = 0
+    flat = errs.reshape(-1).copy()
+    while gt_used.sum() < G and pred_used.sum() + fp_count < P:
+        found = False
+        while not found and np.isfinite(flat).any():
+            k = int(np.argmin(flat))
+            p, g = divmod(k, G)
+            iou = _kp_bbox_iou(pred_kps[p][:, :2], gt_kps[g])
+            if not pred_used[p] and not gt_used[g] and iou >= iou_thresh:
+                best.append((p, g))
+                pred_used[p] = gt_used[g] = True
+                found = True
+            elif iou < iou_thresh:
+                # reference counts a false positive on ANY sub-threshold
+                # IoU pop, even for already-matched rows (:112-117)
+                fp_count += 1
+                found = True
+            flat[k] = np.inf
+        if not found:
+            break
+    best = np.asarray(best, int).reshape(-1, 2)
+    fps = sorted(set(range(P)) - set(best[:, 0].tolist()))
+    misses = sorted(set(range(G)) - set(best[:, 1].tolist()))
+    return best, fps, misses
+
+
+def _pckh(gt: np.ndarray, pred: np.ndarray,
+          error_thresh: float = 0.143) -> np.ndarray:
+    """Per-person PCKh against the visible-keypoint extent diagonal
+    (evaluation.py:71-88); persons with <2 visible joints get -1."""
+    out = np.full(len(gt), -1.0)
+    vis = (gt > -1.0).sum(-1) == gt.shape[-1]                  # (N, J)
+    err = np.linalg.norm(gt - pred, axis=-1)
+    for i in range(len(gt)):
+        v = vis[i]
+        if v.sum() < 2:
+            continue
+        g = gt[i, v]
+        scale = np.sqrt((g[:, 0].max() - g[:, 0].min()) ** 2
+                        + (g[:, 1].max() - g[:, 1].min()) ** 2)
+        out[i] = float((err[i, v] / scale < error_thresh).mean())
+    return out
+
+
+def compute_prf1(count: int, miss: int, fp: int
+                 ) -> Tuple[float, float, float]:
+    """Precision/recall/F1 with the reference's rounding
+    (evaluation.py:90-99)."""
+    if count == 0:
+        return 0.0, 0.0, 0.0
+    tp = count - miss
+    f1 = round(tp / (tp + 0.5 * (fp + miss)), 2)
+    return round(tp / (tp + fp), 2), round(tp / (tp + miss), 2), f1
+
+
+def rh_evaluate(results: Dict[str, List[Dict[str, np.ndarray]]],
+                annots: Dict[str, List[Dict]], dr_thresh: float = 0.2,
+                miss_fine: float = 0.3) -> Dict[str, float]:
+    """Relative Human scoring (evaluation.py:130-266).
+
+    results: img_name -> list of per-person dicts with 'kp2ds' (14, 2+)
+    in CrowdPose-14 order and 'trans' (3,) — the official submission
+    layout produced by collect_relative_results
+    (eval_Relative_Human.py:61-72).
+    annots: img_name -> list of {bbox, kp2d (19|14, 3) or None, depth_id,
+    age} — the official {set}_annots.npz payload (load with rh_load).
+    Returns mPCKh, PCRD_{thr} (+ per-age), precision/recall/f1.
+    """
+    map_bk = joint_mapping(BK_19, CROWDPOSE_14)
+    map_och = joint_mapping(OCHUMAN_19, CROWDPOSE_14)
+    n_all = n_fp = n_miss = 0
+    pckhs: List[np.ndarray] = []
+    pair_dists = {"eq": [], "cd": [], "fd": []}
+    pair_ages = {"eq": [], "cd": [], "fd": []}
+    missed_ages: List[int] = []
+
+    for img_name, img_annots in annots.items():
+        gt_kps, gt_inds = [], []
+        for idx, annot in enumerate(img_annots):
+            kp2d = annot.get("kp2d")
+            if kp2d is None:
+                continue
+            joint = np.asarray(kp2d, np.float64).reshape(-1, 3).copy()
+            joint[joint[:, 2] == 0] = -2.0
+            joint[:, 2] = joint[:, 2] > 0
+            if len(joint) == 19:
+                # BK images have 7-char basenames (evaluation.py:180)
+                is_bk = len(osp.basename(img_name).replace(".jpg", "")) == 7
+                mapper = map_bk if is_bk else map_och
+                joints = joint[mapper]
+                joints[mapper == -1] = -2.0
+            else:
+                joints = joint
+            gt_kps.append(joints)
+            gt_inds.append(idx)
+        if not gt_inds:
+            continue
+        gt_kps = np.asarray(gt_kps)
+
+        if img_name not in results or not len(results[img_name]):
+            n_miss += len(gt_inds)
+            missed_ages += [img_annots[i]["age"] for i in gt_inds]
+            continue
+        res = results[img_name]
+        pred_kps = np.asarray([r["kp2ds"] for r in res])
+        valid_kps = gt_kps[:, :, 2] > 0
+        keep = valid_kps.sum(-1) > 0
+        gt_kps, valid_kps = gt_kps[keep], valid_kps[keep]
+        gt_inds = [gi for gi, k in zip(gt_inds, keep) if k]
+        best, fps, misses = match_2d_greedy(pred_kps, gt_kps[:, :, :2],
+                                            valid_kps)
+        n_all += len(pred_kps)
+        n_fp += len(fps)
+        n_miss += len(misses)
+        missed_ages += [img_annots[gt_inds[m]]["age"] for m in misses]
+        if not len(best):
+            continue
+        pids, gids = best[:, 0], best[:, 1]
+        pckhs.append(_pckh(gt_kps[gids, :, :2], pred_kps[pids, :, :2]))
+
+        ann_ids = [gt_inds[g] for g in gids]
+        depth_ids = np.asarray([img_annots[a]["depth_id"] for a in ann_ids])
+        ages = np.asarray([img_annots[a]["age"] for a in ann_ids])
+        dvalid = depth_ids != -1
+        if dvalid.sum() > 1:
+            depths = np.asarray([res[p]["trans"][2]
+                                 for p in pids])[dvalid]
+            dids = depth_ids[dvalid]
+            ag = ages[dvalid]
+            n = len(dids)
+            iu, ju = np.triu_indices(n, k=1)
+            dist = depths[iu] - depths[ju]
+            did = dids[iu] - dids[ju]
+            for kind, sel in (("eq", did == 0), ("cd", did < 0),
+                              ("fd", did > 0)):
+                pair_dists[kind].append(dist[sel])
+                pair_ages[kind].append(
+                    np.stack([ag[iu][sel], ag[ju][sel]], -1))
+
+    out: Dict[str, float] = {}
+    prec, rec, f1 = compute_prf1(n_all, n_miss, n_fp)
+    out.update({"precision": prec, "recall": rec, "f1": f1})
+    if pckhs:
+        allp = np.concatenate(pckhs)
+        out["mPCKh"] = float(allp.mean())
+    missed_ages_np = np.asarray(missed_ages, np.int64)
+    cats = [np.concatenate(pair_dists[k]) if pair_dists[k]
+            else np.zeros(0) for k in ("eq", "cd", "fd")]
+    agecats = [np.concatenate(pair_ages[k], 0) if pair_ages[k]
+               else np.zeros((0, 2), np.int64) for k in ("eq", "cd", "fd")]
+    correct = np.concatenate([np.abs(cats[0]) < dr_thresh,
+                              cats[1] < -dr_thresh, cats[2] > dr_thresh])
+    total = sum(len(c) for c in cats) + len(missed_ages_np) * miss_fine
+    if total > 0:
+        out[f"PCRD_{dr_thresh}"] = float(correct.sum() / total)
+    all_ages = np.concatenate(agecats, 0)
+    for ai, name in enumerate(RH_AGE_TYPES):
+        mask = (all_ages == ai).sum(-1) > 0
+        if mask.sum() > 0:
+            fine = (missed_ages_np == ai).sum() * miss_fine
+            out[f"PCRD_{dr_thresh}_{name}"] = float(
+                correct[mask].sum() / (mask.sum() + fine))
+    return out
+
+
+def rh_load(annots_npz: str) -> Dict:
+    """Load the official Relative Human annotation npz
+    ({set}_annots.npz with the dict under key 'annots')."""
+    return np.load(annots_npz, allow_pickle=True)["annots"][()]
+
+
+def rh_save_results(path: str, results: Dict) -> None:
+    """Write the official submission layout (eval_Relative_Human.py:105)."""
+    np.savez(path, results=results)
+
+
+def rh_load_results(path: str) -> Dict:
+    return np.load(path, allow_pickle=True)["results"][()]
+
+
+# =========================================================================
+# MuPoTS protocol
+# =========================================================================
+
+MUPOTS_JOINT_GROUPS = [("Head", [0]), ("Neck", [1]), ("Shou", [2, 5]),
+                       ("Elbow", [3, 6]), ("Wrist", [4, 7]),
+                       ("Hip", [8, 11]), ("Knee", [9, 12]),
+                       ("Ankle", [10, 13])]
+MUPOTS_ALL_JOINTS = [j for _, g in MUPOTS_JOINT_GROUPS for j in g]
+MUPOTS_ROOT = 14                      # pelvis row in the 17-joint format
+
+
+def norm_by_bone_length(pred: np.ndarray, gt: np.ndarray,
+                        parents: Sequence[int],
+                        traversal: Sequence[int]) -> np.ndarray:
+    """Rescale each predicted bone to the GT length, walking the tree in
+    traversal order (matcher.py:4-13). pred/gt: (3, J)."""
+    out = pred.copy()
+    for i, j in enumerate(traversal):
+        par = parents[i]
+        gt_len = np.linalg.norm(gt[:, j] - gt[:, par])
+        vec = pred[:, j] - pred[:, par]
+        out[:, j] = out[:, par] + vec * gt_len / max(
+            np.linalg.norm(vec), 1e-12)
+    return out
+
+
+def _procrustes_cols(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """Similarity-align pred onto target; both (3, J) column-point layout
+    (matcher.py:15-51)."""
+    a, _ = similarity_align_batch(pred.T[None], target.T[None])
+    return a[0].T
+
+
+def mupots_match_3d(gt_poses: Sequence[np.ndarray],
+                    pred_poses: Sequence[np.ndarray],
+                    root_relative: bool = True,
+                    threshold: float = 250.0) -> List[int]:
+    """For each GT pose (3, 17), the Procrustes-closest prediction, or -1
+    above threshold (matcher.py:53-75). Predictions may match several GTs
+    (the reference does not enforce one-to-one here)."""
+    matches = []
+    preds = [np.float32(p) for p in pred_poses]
+    if root_relative:
+        preds = [p - p[:, MUPOTS_ROOT:MUPOTS_ROOT + 1] for p in preds]
+    for g in gt_poses:
+        g = np.float32(g)
+        g = g - g[:, MUPOTS_ROOT:MUPOTS_ROOT + 1]
+        diffs = [np.linalg.norm(_procrustes_cols(p, g) - g, axis=0).mean()
+                 for p in preds]
+        if not diffs or min(diffs) > threshold:
+            matches.append(-1)
+        else:
+            matches.append(int(np.argmin(diffs)))
+    return matches
+
+
+def mupots_match_2d(gt_kp2ds: np.ndarray, pred_kp2ds: np.ndarray,
+                    thresh: float = 100.0) -> np.ndarray:
+    """Hungarian 2D matching with a cost limit (matcher.py:77-95;
+    scipy gated assignment replaces lap.lapjv — delta documented in
+    tracker/bytetrack3d.py). Poses are (N, 2, K). Returns per-GT matched
+    pred id or -1."""
+    from romp_tpu.tracker.bytetrack3d import assign
+
+    matched = np.full(len(gt_kp2ds), -1, np.int32)
+    if not len(pred_kp2ds) or not len(gt_kp2ds):
+        return matched
+    cost = np.stack([np.linalg.norm(
+        np.asarray(gt_kp2ds) - p[None], axis=1).mean(-1)
+        for p in pred_kp2ds])                        # (P, G)
+    pairs, _, _ = assign(cost, thresh)
+    for p, g in pairs:
+        matched[g] = p
+    return matched
+
+
+def mupots_pck(seq_err: Sequence[Sequence[np.ndarray]],
+               pck_thresh: float = 150.0
+               ) -> Tuple[List, List, List]:
+    """Per-sequence grouped 3D-PCK curves (evaluate.py:7-43).
+
+    seq_err: per sequence, a list of per-frame-person (17,) joint error
+    arrays in mm. Returns (pck_curves, pck@150 per group + all, auc per
+    group), each a per-sequence list.
+    """
+    thresh = np.arange(0, 200, 5)
+    curves, pcks, aucs = [], [], []
+    for errs in seq_err:
+        err = np.asarray(errs, np.float32)            # (N, 17)
+        curve, pck_seq, auc_seq = [], [], []
+        for _, joints in MUPOTS_JOINT_GROUPS:
+            sel = err[:, joints]
+            buff = [float((sel < t).sum() / len(joints) / len(err))
+                    for t in thresh]
+            curve.append(buff)
+            auc_seq.append(float(np.mean(buff)))
+            pck_seq.append(float((sel < pck_thresh).sum()
+                                 / len(joints) / len(err)))
+        sel = err[:, MUPOTS_ALL_JOINTS]
+        curve.append([float((sel < t).sum() / len(err)
+                            / len(MUPOTS_ALL_JOINTS)) for t in thresh])
+        pck_seq.append(float((sel < pck_thresh).sum() / len(err)
+                             / len(MUPOTS_ALL_JOINTS)))
+        curves.append(curve)
+        pcks.append(pck_seq)
+        aucs.append(auc_seq)
+    return curves, pcks, aucs

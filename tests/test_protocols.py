@@ -1,0 +1,260 @@
+"""Official-protocol eval drivers on synthetic reference-format fixtures."""
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+
+# ------------------------------------------------------------------ 3DPW --
+
+def _make_pw3d_fixture(tmp_path, jitter=0.0, rot_jitter=0.0):
+    """Write official-layout GT + prediction pkls using the synthetic SMPL
+    as the GT body model; predictions = GT (+ optional jitter)."""
+    import jax.numpy as jnp
+
+    from romp_tpu.eval.protocols import make_gt_smpl_fn, pw3d_apply_camera
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    rng = np.random.RandomState(0)
+    model = SmplModel.from_assets(synthetic_assets(seed=0))
+    models = {"f": model, "m": model, "n": model}
+    smpl_fn = make_gt_smpl_fn(models)
+
+    N, P = 6, 2
+    poses = rng.randn(P, N, 72).astype(np.float32) * 0.1
+    betas = rng.randn(P, 10).astype(np.float32) * 0.3
+    trans = rng.randn(P, N, 3).astype(np.float32)
+    cam = np.tile(np.eye(4, dtype=np.float32)[None], (N, 1, 1))
+    th = 0.3
+    cam[:, :3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                               [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    cam[:, :3, 3] = [0.1, -0.2, 4.0]
+    poses2d = np.ones((P, N, 18, 3), np.float32)
+    poses2d[:, -1] = 0.0                      # last frame invalid (no 2D)
+    campose_valid = np.ones((P, N), np.float32)
+    campose_valid[:, 0] = 0.0                 # first frame invalid campose
+
+    gt = {"genders": ["f", "m"], "poses2d": list(poses2d),
+          "campose_valid": list(campose_valid), "poses": poses,
+          "betas": list(betas), "trans": trans, "cam_poses": cam}
+
+    jps, rots = [], []
+    for i in range(P):
+        j24, glob = smpl_fn(gt["genders"][i], poses[i],
+                            np.tile(betas[i][None], (N, 1)), trans[i])
+        j24, glob = pw3d_apply_camera(j24, glob, cam)
+        jps.append(j24)
+        rots.append(glob)
+    from romp_tpu.eval.protocols import PW3D_OR_JOINTS
+    pred = {
+        "jointPositions": np.stack(jps).reshape(P, N, 72) + jitter,
+        "orientations": np.stack(rots)[:, :, PW3D_OR_JOINTS],
+    }
+    if rot_jitter:
+        from romp_tpu.ops.rotations import axis_angle_to_matrix
+        aa = np.zeros((1, 3), np.float32)
+        aa[0, 0] = rot_jitter
+        R = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))[0]
+        pred["orientations"] = np.einsum(
+            "ij,pnkjl->pnkil", R, pred["orientations"])
+
+    for split in ("train", "validation", "test"):
+        (tmp_path / "truth" / split).mkdir(parents=True, exist_ok=True)
+        (tmp_path / "submit" / split).mkdir(parents=True, exist_ok=True)
+    with open(tmp_path / "truth" / "test" / "seq0.pkl", "wb") as f:
+        pickle.dump(gt, f)
+    with open(tmp_path / "submit" / "test" / "seq0.pkl", "wb") as f:
+        pickle.dump(pred, f)
+    return smpl_fn
+
+
+def test_pw3d_perfect_predictions_score_zero(tmp_path):
+    from romp_tpu.eval.protocols import pw3d_evaluate
+
+    smpl_fn = _make_pw3d_fixture(tmp_path)
+    out = pw3d_evaluate(str(tmp_path / "submit"), str(tmp_path / "truth"),
+                        smpl_fn)
+    assert out["MPJPE"] < 1e-3 and out["MPJPE_PA"] < 1e-3
+    assert out["PCK"] == 100.0
+    assert out["AUC"] > 0.99
+    assert out["MPJAE"] < 1e-2 and out["MPJAE_PA"] < 1e-2
+
+
+def test_pw3d_jitter_and_rotation_error_measured(tmp_path):
+    from romp_tpu.eval.protocols import pw3d_evaluate
+
+    # constant 10cm x-offset on every joint: removed by root alignment
+    smpl_fn = _make_pw3d_fixture(tmp_path, jitter=0.1, rot_jitter=0.2)
+    out = pw3d_evaluate(str(tmp_path / "submit"), str(tmp_path / "truth"),
+                        smpl_fn)
+    assert out["MPJPE"] < 1e-3            # uniform offset cancels
+    # 0.2 rad global premultiplied rotation -> 0.2 rad on every joint
+    np.testing.assert_allclose(out["MPJAE"], np.degrees(0.2), atol=0.05)
+
+
+def test_pw3d_valid_frame_selection():
+    from romp_tpu.eval.protocols import pw3d_valid_indices
+
+    poses2d = np.ones((5, 18, 3))
+    poses2d[2] = 0.0
+    campose_valid = np.array([0, 1, 1, 1, 1.0])
+    np.testing.assert_array_equal(
+        pw3d_valid_indices(poses2d, campose_valid), [1, 3, 4])
+
+
+def test_similarity_align_recovers_srt():
+    from romp_tpu.eval.protocols import similarity_align_batch
+
+    rng = np.random.RandomState(3)
+    gt = rng.randn(4, 24, 3)
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    pred = 0.5 * gt @ R.T + np.array([1.0, -2.0, 3.0])
+    aligned, _ = similarity_align_batch(pred, gt)
+    np.testing.assert_allclose(aligned, gt, atol=1e-8)
+    # all-zero fallback: gt centroid
+    z = np.zeros_like(gt[:1])
+    a0, R0 = similarity_align_batch(z, gt[:1])
+    np.testing.assert_allclose(a0[0], np.tile(gt[:1].mean(1), (24, 1)))
+    np.testing.assert_allclose(R0[0], np.eye(3))
+
+
+# -------------------------------------------------------- Relative Human --
+
+def _rh_fixture():
+    """2 images x 2-3 persons in the official annots/results layouts."""
+    rng = np.random.RandomState(1)
+    annots, results = {}, {}
+    for n, img in enumerate(["img_a.jpg", "1234567.jpg"]):
+        per = []
+        res = []
+        for i in range(3):
+            kp = np.zeros((14, 3))
+            kp[:, 0] = rng.rand(14) * 50 + 200 * i
+            kp[:, 1] = rng.rand(14) * 100
+            kp[:, 2] = 1.0
+            per.append({"bbox": [200 * i, 0, 50, 100], "kp2d": kp,
+                        "depth_id": i, "age": i % 4})
+            res.append({"kp2ds": kp[:, :2].copy(),
+                        "trans": np.array([0.0, 0.0, 1.0 + i])})
+        annots[img] = per
+        results[img] = res
+    return annots, results
+
+
+def test_rh_perfect_predictions():
+    from romp_tpu.eval.protocols import rh_evaluate
+
+    annots, results = _rh_fixture()
+    out = rh_evaluate(results, annots)
+    assert out["f1"] == 1.0 and out["precision"] == 1.0
+    assert out["mPCKh"] == 1.0
+    # depths strictly increasing with depth_id -> all cd/fd pairs correct
+    assert out["PCRD_0.2"] == 1.0
+    for age in ("adult", "teen", "kid"):
+        assert out[f"PCRD_0.2_{age}"] == 1.0
+
+
+def test_rh_missed_person_accounting():
+    from romp_tpu.eval.protocols import rh_evaluate
+
+    annots, results = _rh_fixture()
+    # drop the last person from every image's predictions
+    results = {k: v[:2] for k, v in results.items()}
+    out = rh_evaluate(results, annots)
+    # reference accounting quirk (evaluation.py:90-99): tp is computed as
+    # n_predictions - n_misses (4 preds, 2 missed GTs -> tp = 2), so
+    # recall = 2 / (2 + 2) = 0.5, not the naive 4/6.
+    assert out["recall"] == 0.5
+    assert out["precision"] == 1.0
+    # 2 images x 1 pair (persons 0, 1 with depth 1 vs 2 -> cd correct);
+    # 2 missed persons x 0.3 fine in the denominator
+    np.testing.assert_allclose(out["PCRD_0.2"], 2 / (2 + 2 * 0.3))
+
+
+def test_rh_19joint_mapping_roundtrip():
+    from romp_tpu.eval.protocols import (
+        BK_19, CROWDPOSE_14, joint_mapping,
+    )
+
+    m = joint_mapping(BK_19, CROWDPOSE_14)
+    assert m[CROWDPOSE_14["L_Shoulder"]] == BK_19["L_Shoulder"]
+    assert m[CROWDPOSE_14["Neck_LSP"]] == -1      # BK has no LSP neck
+
+
+def test_rh_npz_roundtrip(tmp_path):
+    from romp_tpu.eval.protocols import (
+        rh_evaluate, rh_load, rh_load_results, rh_save_results,
+    )
+
+    annots, results = _rh_fixture()
+    np.savez(tmp_path / "val_annots.npz", annots=annots)
+    rh_save_results(str(tmp_path / "val_results.npz"), results)
+    out = rh_evaluate(rh_load_results(str(tmp_path / "val_results.npz")),
+                      rh_load(str(tmp_path / "val_annots.npz")))
+    assert out["f1"] == 1.0
+
+
+# ---------------------------------------------------------------- MuPoTS --
+
+def test_mupots_match_2d_hungarian_with_limit():
+    from romp_tpu.eval.protocols import mupots_match_2d
+
+    gt = np.zeros((2, 2, 17))
+    gt[1] += 50.0
+    pred = np.zeros((3, 2, 17))
+    pred[0] += 50.5          # near gt 1
+    pred[1] += 0.5           # near gt 0
+    pred[2] += 1000.0        # garbage
+    m = mupots_match_2d(gt, pred, thresh=100.0)
+    np.testing.assert_array_equal(m, [1, 0])
+    # over the cost limit -> unmatched
+    m2 = mupots_match_2d(gt, pred[2:], thresh=100.0)
+    np.testing.assert_array_equal(m2, [-1, -1])
+
+
+def test_mupots_match_3d_procrustes_invariant():
+    from romp_tpu.eval.protocols import mupots_match_3d
+
+    rng = np.random.RandomState(5)
+    g1 = rng.randn(3, 17) * 100
+    g2 = rng.randn(3, 17) * 100
+    th = 0.4
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    # predictions are rotated/scaled/translated copies -> Procrustes exact
+    p1 = 1.3 * R @ g1 + np.array([[10.], [20.], [30.]])
+    p2 = 0.8 * R @ g2 + 5.0
+    m = mupots_match_3d([g1, g2], [p2, p1])
+    assert m == [1, 0]
+    # a prediction matching nothing within threshold
+    m2 = mupots_match_3d([g1], [g1 + rng.randn(3, 17) * 500], threshold=50)
+    assert m2 == [-1]
+
+
+def test_mupots_bone_length_norm():
+    from romp_tpu.eval.protocols import norm_by_bone_length
+
+    gt = np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0]]).T   # (3, 3 joints)
+    pred = np.array([[0.0, 0, 0], [2, 0, 0], [2, 3, 0]]).T
+    # traversal: joint1 from joint0, joint2 from joint1
+    out = norm_by_bone_length(pred, gt, parents=[0, 1], traversal=[1, 2])
+    np.testing.assert_allclose(out[:, 1], [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(out[:, 2], [1, 1, 0], atol=1e-12)
+
+
+def test_mupots_pck_groups():
+    from romp_tpu.eval.protocols import MUPOTS_ALL_JOINTS, mupots_pck
+
+    # all errors 100mm -> PCK@150 = 1; all errors 180 -> PCK = 0
+    errs_good = [np.full(17, 100.0) for _ in range(4)]
+    errs_bad = [np.full(17, 180.0) for _ in range(4)]
+    curves, pcks, aucs = mupots_pck([errs_good, errs_bad])
+    assert pcks[0][-1] == 1.0 and pcks[1][-1] == 0.0
+    assert len(curves[0]) == 9 and len(curves[0][0]) == 40
+    # AUC for 100mm errors: thresholds 105..195 of 0..195 pass -> 19/40
+    np.testing.assert_allclose(aucs[0][0], 19 / 40)
+    assert len(MUPOTS_ALL_JOINTS) == 14
