@@ -84,7 +84,8 @@ def main():
     tparams.update({k: v for k, v in _irp(jax.random.PRNGKey(1)).items()
                     if k.startswith("backbone.")})
     cfg = TraceConfig(temp_clip_length=8, max_person=8, conf_thresh=-1e9,
-                      compute_dtype="bfloat16", act_dtype="bfloat16")
+                      compute_dtype="bfloat16", act_dtype="bfloat16",
+                      transfer_dtype="float16")
     sc = SeqConfig(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
                    tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
     raft_params = init_raft_params(jax.random.PRNGKey(2))

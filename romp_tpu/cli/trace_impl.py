@@ -101,11 +101,21 @@ def run_trace(settings) -> int:
     os.makedirs(settings.save_path, exist_ok=True)
     T = settings.temp_clip_length
 
-    results_per_frame: Dict[int, Dict] = {}
-    for start in range(0, len(frame_paths), T):
+    def decode_chunk(start):
         chunk = frame_paths[start:start + T]
-        frames = np.stack([
+        return np.stack([
             img_preprocess(cv2.imread(p))[0][0] for p in chunk])
+
+    results_per_frame: Dict[int, Dict] = {}
+    starts = list(range(0, len(frame_paths), T))
+    # decode + upload the NEXT clip before processing the current one, so
+    # the host->device transfer overlaps the device compute (the upload is
+    # a dominant per-clip cost on a tunneled device)
+    pending = pipe.prefetch(decode_chunk(starts[0])) if starts else None
+    for i, start in enumerate(starts):
+        frames = pending
+        pending = (pipe.prefetch(decode_chunk(starts[i + 1]))
+                   if i + 1 < len(starts) else None)
         out = pipe.process_clip(frames)
         if out is None:
             continue
@@ -130,6 +140,26 @@ def run_trace(settings) -> int:
     save_tracking_matrix(results_per_frame,
                          osp.join(settings.save_path,
                                   f"TRACE_{seq_name}.txt"))
+    if "world" in getattr(settings, "show_items", ""):
+        # global-view renders + top-down trajectory + offline HTML viewer
+        # (trace/lib/visualization/world_vis.py analog)
+        from romp_tpu.vis.world_view import visualize_global_trajectory
+
+        flat = {k: [] for k in ("track_ids", "frame_ids", "frame_valid",
+                                "world_cams", "verts")}
+        for fid in sorted(results_per_frame):
+            fr = results_per_frame[fid]
+            n = len(fr["track_ids"])
+            flat["track_ids"] += list(fr["track_ids"])
+            flat["frame_ids"] += [fid] * n
+            flat["frame_valid"] += [True] * n
+            flat["world_cams"] += list(fr["world_cams"])
+            flat["verts"] += list(fr["verts"])
+        if flat["track_ids"]:
+            visualize_global_trajectory(
+                {k: np.asarray(v) for k, v in flat.items()},
+                np.asarray(adult.faces),
+                osp.join(settings.save_path, "world_vis"))
     print(f"saved {len(results_per_frame)} frames of results to "
           f"{settings.save_path}")
     return 0

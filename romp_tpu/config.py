@@ -65,11 +65,14 @@ class TrainConfigFull:
     epochs: int = 120
     warmup_steps: int = 1000
     compute_dtype: str = "bfloat16"
+    act_dtype: str = "float32"           # bfloat16 = low-memory fast path
+    remat: str = "stage"                 # stage | net | none
     seed: int = 0
     test_interval: int = 2000            # val cadence (romp/train.py:115)
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 5
     log_every: int = 50
+    tensorboard: bool = True             # event files under ckpt_dir/tb
     fine_tune: bool = False
     resume: Optional[str] = None
 

@@ -96,12 +96,8 @@ def _transition(store: ParamStore, prefix: str, ys: List[jax.Array],
     return xs
 
 
-def hrnet_w32(store: ParamStore, x: jax.Array,
-              prefix: str = "backbone") -> jax.Array:
-    """HRNet-W32 forward. x: (B, H, W, 3) already normalized to [-1, 1].
-
-    Returns the full-resolution feature map (B, H/4, W/4, 32).
-    """
+def _seg_stem(store: ParamStore, xs, prefix: str):
+    (x,) = xs
     x = conv2d(store, f"{prefix}.conv1", x, 64, 3, 2)
     x = bn_relu(store, f"{prefix}.bn1", x)
     x = conv2d(store, f"{prefix}.conv2", x, 64, 3, 2)
@@ -109,19 +105,55 @@ def hrnet_w32(store: ParamStore, x: jax.Array,
     for b in range(4):
         x = bottleneck(store, f"{prefix}.layer1.{b}", x, 64,
                        downsample=(b == 0))
+    return [x]
 
-    xs = _transition(store, f"{prefix}.transition1", [x], (256,),
+
+def _seg_stage2(store: ParamStore, xs, prefix: str):
+    xs = _transition(store, f"{prefix}.transition1", xs, (256,),
                      STAGE2_CHANNELS)
-    ys = hr_module(store, f"{prefix}.stage2.0", xs, STAGE2_CHANNELS)
+    return hr_module(store, f"{prefix}.stage2.0", xs, STAGE2_CHANNELS)
 
+
+def _seg_stage3(store: ParamStore, ys, prefix: str):
     xs = _transition(store, f"{prefix}.transition2", ys, STAGE2_CHANNELS,
                      STAGE3_CHANNELS)
     for m in range(4):
         xs = hr_module(store, f"{prefix}.stage3.{m}", xs, STAGE3_CHANNELS)
+    return xs
 
+
+def _seg_stage4(store: ParamStore, xs, prefix: str):
     xs = _transition(store, f"{prefix}.transition3", xs, STAGE3_CHANNELS,
                      STAGE4_CHANNELS)
     for m in range(3):
         xs = hr_module(store, f"{prefix}.stage4.{m}", xs, STAGE4_CHANNELS,
                        multi_scale_output=(m != 2))
+    return [xs[0]]
+
+
+def hrnet_w32_segments(prefix: str = "backbone"):
+    """The forward split at its natural stage boundaries, as
+    fn(store, [arrays]) -> [arrays] segments.
+
+    Training wraps each in `jax.checkpoint` so the backward rematerializes
+    one stage at a time: only the small inter-stage boundary tensors are
+    stashed across the whole graph instead of every intra-stage activation
+    (a whole-net checkpoint re-materializes ALL of them at once during the
+    backward, which is why it barely moved peak HBM).
+    """
+    import functools
+
+    return [functools.partial(f, prefix=prefix)
+            for f in (_seg_stem, _seg_stage2, _seg_stage3, _seg_stage4)]
+
+
+def hrnet_w32(store: ParamStore, x: jax.Array,
+              prefix: str = "backbone") -> jax.Array:
+    """HRNet-W32 forward. x: (B, H, W, 3) already normalized to [-1, 1].
+
+    Returns the full-resolution feature map (B, H/4, W/4, 32).
+    """
+    xs = [x]
+    for seg in hrnet_w32_segments(prefix):
+        xs = seg(store, xs)
     return xs[0]

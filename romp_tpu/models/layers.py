@@ -160,7 +160,11 @@ def batch_norm(store: ParamStore, prefix: str, x: jax.Array) -> jax.Array:
         # dtype (params stay f32; the tiny per-channel fold runs in f32)
         shift = offset - use_mean * inv
         return x * inv.astype(x.dtype) + shift.astype(x.dtype)
-    return (x.astype(jnp.float32) - use_mean) * inv + offset
+    # Train path: statistics/normalization in f32, output re-emitted in the
+    # activation dtype — with act_dtype=bf16 the stashed-for-backward
+    # activations are half-size (act_dtype defaults to f32 = parity path).
+    return ((x.astype(jnp.float32) - use_mean) * inv + offset
+            ).astype(store.act_dtype)
 
 
 def bn_relu(store: ParamStore, prefix: str, x: jax.Array) -> jax.Array:

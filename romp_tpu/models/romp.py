@@ -81,6 +81,37 @@ def romp_forward(store: ParamStore, image: jax.Array,
     return center_maps, params_maps
 
 
+def _seg_heads(store: ParamStore, xs):
+    (feat,) = xs
+    cm = coord_maps(feat.shape[1], feat.dtype)
+    feat = jnp.concatenate(
+        [feat, jnp.broadcast_to(cm, (feat.shape[0], *cm.shape[1:]))], axis=-1)
+    params_maps = _head(store, "final_layers.1", feat, NUM_PARAMS_MAP)
+    center_maps = _head(store, "final_layers.2", feat, 1)
+    cam_maps = _head(store, "final_layers.3", feat, NUM_CAM_MAP)
+    return [center_maps, jnp.concatenate([cam_maps, params_maps], axis=-1)]
+
+
+def romp_forward_segments(backbone: str = "hrnet32"):
+    """romp_forward as fn(store, [arrays]) -> [arrays] segments for
+    per-stage training rematerialization (see hrnet.hrnet_w32_segments).
+    First segment consumes [image (B, S, S, 3) in [0, 255]]; last returns
+    [center_maps, params_maps]."""
+    from romp_tpu.models.hrnet import hrnet_w32_segments
+
+    if backbone == "hrnet32":
+        def normalize(store, xs):
+            return [(xs[0] / 255.0) * 2.0 - 1.0]
+
+        return [normalize] + hrnet_w32_segments("backbone") + [_seg_heads]
+    from romp_tpu.models.resnet import resnet50
+
+    # resnet50 takes the raw [0, 255] image (it normalizes internally) and
+    # has no comparable stage split here: one whole-backbone segment.
+    return [lambda store, xs: [resnet50(store, xs[0], prefix="backbone")],
+            _seg_heads]
+
+
 def init_romp_params(rng: jax.Array, input_size: int = 512,
                      backbone: str = "hrnet32"):
     """Initialize a fresh parameter dict by tracing the forward once."""

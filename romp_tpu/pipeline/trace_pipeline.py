@@ -55,6 +55,10 @@ class TraceConfig:
     conf_thresh: float = 0.05
     compute_dtype: str = "float32"
     act_dtype: str = "float32"
+    # dtype big per-vertex outputs (verts/joints/pj2d) are FETCHED in.
+    # float16 halves the dominant host<-device transfer (~5 MB/clip of
+    # verts); quantization is <0.5 mm at metre scale. float32 = exact.
+    transfer_dtype: str = "float32"
 
 
 def _sample3d(maps: jax.Array, zyx: jax.Array) -> jax.Array:
@@ -129,9 +133,9 @@ def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
             f32(cam_rot).transpose(1, 0, 2))
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(4, 5))
 def _trace_smpl_stage(params_pred, normed_cams, cam_rot, smpls,
-                      input_size: int):
+                      input_size: int, transfer_dtype: str = "float32"):
     """Final device stage, one jit: 6D->aa, SMPL+A, projection, world grots.
 
     params_pred: (N, T, 159); normed_cams: (N, T, 3); cam_rot: (N, T, 6);
@@ -154,7 +158,9 @@ def _trace_smpl_stage(params_pred, normed_cams, cam_rot, smpls,
                                   img_size=input_size)
     world_grots = rot6d_to_axis_angle(
         (cam_rot + params_pred[..., 6:12]).reshape(N * T, 6))
-    return thetas, betas, verts, joints, cam_trans, pj2d, world_grots
+    tdt = jnp.float16 if transfer_dtype == "float16" else jnp.float32
+    return (thetas, betas, verts.astype(tdt), joints.astype(tdt),
+            cam_trans, pj2d.astype(tdt), world_grots)
 
 
 TAN_FOV_HALF_TRACE_J = float(np.tan(np.radians(25.0)))
@@ -204,6 +210,14 @@ class TracePipeline:
         self.stage_times[name] = self.stage_times.get(name, 0.0) + t1 - t0
         return t1
 
+    def prefetch(self, frames: np.ndarray) -> "jax.Array":
+        """Start the async host->device upload of a clip NOW (uint8), so it
+        overlaps the previous clip's compute/host stages. Pass the returned
+        handle to process_clip instead of the raw frames."""
+        if frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
+        return jnp.asarray(frames)
+
     def reset(self):
         self.hidden = None
         self.memory = Memory5D()
@@ -223,12 +237,12 @@ class TracePipeline:
         t0 = _time.perf_counter()
         # ONE uint8 upload of the clip, shared by backbone and flow (a
         # float32 upload of 8x512x512x3 is ~25 MB — the single biggest cost
-        # per clip on the tunneled device).
-        if frames.dtype != np.uint8:
-            frames_u8 = np.clip(frames, 0, 255).astype(np.uint8)
+        # per clip on the tunneled device). Already-uploaded handles from
+        # prefetch() pass straight through.
+        if isinstance(frames, jnp.ndarray):
+            frames_dev = frames
         else:
-            frames_u8 = frames
-        frames_dev = jnp.asarray(frames_u8)
+            frames_dev = self.prefetch(frames)
         feats = trace_extract_features(self.params, frames_dev, None, cfg)
         t0 = self._tick("backbone", t0, sync=feats[0, 0, 0, 0])
         # prepend previous clip's last feature map (`trace2/main.py:66-77`)
@@ -277,31 +291,42 @@ class TracePipeline:
         # sample features + init cams along (completed) trajectories in ONE
         # jitted call (eager per-op gathers cost a device round trip EACH on
         # remote-tunneled backends), then gate with the host memory5D.
+        #
+        # The track count N changes from clip to clip (births/deaths), and
+        # every distinct N would re-jit the three downstream device stages —
+        # on a remote device that recompile dominated the whole clip. Pad N
+        # to the next power of two: a handful of compilations total, padded
+        # rows are dead weight sliced off before any host work.
         N = traj.czyxs.shape[0]
-        feat_traj, cams_init_traj = map(np.asarray, _trace_gather_traj(
-            maps.mesh_feature_maps, maps.cam_maps_3d,
-            jnp.asarray(traj.czyxs)))
+        T_ = traj.czyxs.shape[1]
+        n_pad = 1 << (N - 1).bit_length()
+        czyxs_p = traj.czyxs
+        if n_pad > N:
+            czyxs_p = np.concatenate(
+                [traj.czyxs, np.zeros((n_pad - N, T_, 3),
+                                      traj.czyxs.dtype)], axis=0)
+        feat_traj, cams_init_traj = map(np.array, _trace_gather_traj(
+            maps.mesh_feature_maps, maps.cam_maps_3d, jnp.asarray(czyxs_p)))
         t0 = self._tick("traj_gather", t0)
-        feat_traj = gate_features_with_memory(traj, feat_traj, self.memory,
-                                              self.seq_cfg)
+        feat_traj[:N] = gate_features_with_memory(
+            traj, feat_traj[:N], self.memory, self.seq_cfg)
         t0 = self._tick("memory_gate", t0)
 
-        params_pred, normed_cams, cam_motion, cam_rot = trace_regress(
-            self.params, jnp.asarray(feat_traj), jnp.asarray(cams_init_traj),
-            jnp.asarray(traj.czyxs[..., 1:]), cfg, maps=maps)
-        params_pred = np.asarray(params_pred)
-        normed_cams = np.asarray(normed_cams)
+        params_pred_d, normed_cams_d, cam_motion, cam_rot = trace_regress(
+            self.params, jnp.asarray(feat_traj),
+            jnp.asarray(cams_init_traj),
+            jnp.asarray(czyxs_p[..., 1:]), cfg, maps=maps)
+        params_pred = np.array(params_pred_d)          # (n_pad, T, 159)
+        normed_cams = np.array(normed_cams_d)
         t0 = self._tick("regress", t0)
 
         if self.seq_cfg.smooth_pose_shape:
-            params_pred = np.concatenate([
-                params_pred[..., :6],
-                smooth_pose_params(traj, params_pred[..., 6:], self.memory,
-                                   self.seq_cfg)], axis=-1)
-        normed_cams = infill_and_smooth_cams(traj, normed_cams, self.memory,
-                                             self.seq_cfg)
+            params_pred[:N, :, 6:] = smooth_pose_params(
+                traj, params_pred[:N, :, 6:], self.memory, self.seq_cfg)
+        normed_cams[:N] = infill_and_smooth_cams(
+            traj, normed_cams[:N], self.memory, self.seq_cfg)
         world_cams = accumulate_world_cams(
-            traj, normed_cams, np.asarray(cam_motion), self.memory,
+            traj, normed_cams[:N], np.asarray(cam_motion)[:N], self.memory,
             self.init_world_cams, self.seq_cfg)
         t0 = self._tick("host_smooth_world", t0)
 
@@ -311,10 +336,15 @@ class TracePipeline:
             _trace_smpl_stage(
                 jnp.asarray(params_pred), jnp.asarray(normed_cams),
                 jnp.asarray(np.asarray(cam_rot)),
-                (self.smpl_adult, self.smpl_baby), cfg.input_size)
-        thetas, betas = np.asarray(thetas), np.asarray(betas)
-        cam_trans = np.asarray(cam_trans)
-        t0 = self._tick("smpl_project", t0, sync=pj2d)
+                (self.smpl_adult, self.smpl_baby), cfg.input_size,
+                cfg.transfer_dtype)
+        # fetch only the live N*T rows (padding is trailing, N-major)
+        nt = N * T_
+        thetas = np.asarray(thetas[:nt])
+        betas = np.asarray(betas[:nt])
+        cam_trans = np.asarray(cam_trans[:nt])
+        normed_cams = normed_cams[:N]
+        t0 = self._tick("smpl_project", t0, sync=pj2d[0])
 
         out = {
             "track_ids": np.repeat(traj.track_ids, T),
@@ -324,12 +354,12 @@ class TracePipeline:
             "cam": normed_cams.reshape(N * T, 3),
             "cam_trans": cam_trans,
             "world_cams": world_cams.reshape(N * T, 3),
-            "world_grots": np.asarray(world_grots),
+            "world_grots": np.asarray(world_grots[:nt]),
             "smpl_thetas": thetas,
             "smpl_betas": betas,
-            "verts": np.asarray(verts),
-            "joints": np.asarray(joints),
-            "pj2d": np.asarray(pj2d),
+            "verts": np.asarray(verts[:nt]).astype(np.float32),
+            "joints": np.asarray(joints[:nt]).astype(np.float32),
+            "pj2d": np.asarray(pj2d[:nt]).astype(np.float32),
         }
         self._tick("fetch_results", t0)
         return out

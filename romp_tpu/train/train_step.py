@@ -53,9 +53,12 @@ class TrainConfig:
     loss_thresh: float = 1000.0        # per-loss clamp (learnable_loss.py:50)
     new_training: bool = False         # det-only warmup (learnable_loss.py:45)
     compute_dtype: str = "float32"
+    act_dtype: str = "float32"         # bfloat16 halves stashed activations
+    remat: str = "stage"               # "stage" | "net" | "none"
     cam_scale_base: float = 1.1
     match_pred_centers: bool = False   # matching_forward refinement
     match_radius: float = 3.0          # map-pixel match gate
+    backbone: str = "hrnet32"
 
 
 class TrainState(NamedTuple):
@@ -95,6 +98,55 @@ def init_train_state(params: Dict[str, jax.Array],
     return TrainState(trainable, bn_state, opt_state, jnp.zeros((), jnp.int32))
 
 
+def run_net_remat(trainable, bn_state, image, cfg: TrainConfig):
+    """ROMP net forward under the configured rematerialization policy.
+
+    "stage" (default): each backbone stage / head block is its own
+    `jax.checkpoint` segment — the backward stashes only the inter-stage
+    boundary tensors across the graph and re-materializes one stage at a
+    time, so peak HBM is max-over-stages instead of sum-over-net. A single
+    whole-net checkpoint ("net") re-runs the ENTIRE forward inside the
+    backward, re-materializing every intermediate at once — it only saves
+    the stash lifetime, not the peak, which is why batch 64 at 512^2 OOMed.
+    BN batch-stat updates are threaded out of each segment explicitly
+    (tracers may not escape a checkpoint scope via store mutation).
+
+    Returns (center_maps, params_maps, stats_updates).
+    """
+    from romp_tpu.models.romp import romp_forward_segments
+
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    adt = jnp.bfloat16 if cfg.act_dtype == "bfloat16" else jnp.float32
+
+    def seg_runner(seg):
+        def run(tr, bn, arrs):
+            st = ParamStore({**tr, **bn}, train=True, compute_dtype=dt,
+                            act_dtype=adt)
+            out = seg(st, arrs)
+            return out, st.stats_updates
+        return run
+
+    if cfg.remat == "stage":
+        stats_updates = {}
+        arrs = [image]
+        for seg in romp_forward_segments(cfg.backbone):
+            arrs, su = jax.checkpoint(seg_runner(seg))(
+                trainable, bn_state, arrs)
+            stats_updates.update(su)
+        center_maps, params_maps = arrs
+        return center_maps, params_maps, stats_updates
+
+    def net_fwd(tr, bn, image):
+        store = ParamStore({**tr, **bn}, train=True, compute_dtype=dt,
+                           act_dtype=adt)
+        cm, pm = romp_forward(store, image, backbone=cfg.backbone)
+        return cm, pm, store.stats_updates
+
+    if cfg.remat == "net":
+        net_fwd = jax.checkpoint(net_fwd)
+    return net_fwd(trainable, bn_state, image)
+
+
 def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
                    cfg: TrainConfig, prior=None):
     """Forward + composite loss. Returns (total, (bn_updates, metrics)).
@@ -115,20 +167,17 @@ def compute_losses(trainable, bn_state, batch, smpl: SmplModel,
       betas_mask     (B, P) bool
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    adt = jnp.bfloat16 if cfg.act_dtype == "bfloat16" else jnp.float32
 
-    # Rematerialize the backbone forward: HRNet activations at 512^2 exceed
-    # HBM at useful batch sizes if all are stashed for backward
-    # (jax.checkpoint trades ~30% recompute for ~2x activation memory).
-    @jax.checkpoint
-    def net_fwd(tr, bn, image):
-        store = ParamStore({**tr, **bn}, train=True, compute_dtype=dt)
-        cm, pm = romp_forward(store, image)
-        return cm, pm, store.stats_updates
-
-    center_maps, params_maps, stats_updates = net_fwd(
-        trainable, bn_state, batch["image"])
+    center_maps, params_maps, stats_updates = run_net_remat(
+        trainable, bn_state, batch["image"], cfg)
+    # Loss math always in f32: with bf16 activations, sigmoid saturates to
+    # exactly 0/1 and the focal loss' log turns -inf (NaN grads). The bf16
+    # memory win lives INSIDE the remat segments; this one cast is tiny.
+    center_maps = center_maps.astype(jnp.float32)
+    params_maps = params_maps.astype(jnp.float32)
     store = ParamStore({**trainable, **bn_state}, train=True,
-                       compute_dtype=dt)
+                       compute_dtype=dt, act_dtype=adt)
     store.stats_updates = stats_updates
 
     B, P = batch["person_mask"].shape

@@ -82,7 +82,10 @@ class Trainer:
             prior_weight=cfg.loss.prior_weight,
             loss_thresh=cfg.loss.loss_thresh,
             compute_dtype=cfg.train.compute_dtype,
+            act_dtype=cfg.train.act_dtype,
+            remat=cfg.train.remat,
             cam_scale_base=cfg.model.cam_scale_base,
+            backbone=cfg.model.backbone,
         )
         # GMM pose prior: load the packed reference asset (gmm_08.pkl /
         # .npz via GmmPrior.load) when configured; otherwise a synthetic
@@ -107,10 +110,32 @@ class Trainer:
         self.best_val = float("inf")
         os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
         self._log_path = osp.join(cfg.train.checkpoint_dir, "train_log.jsonl")
+        # TensorBoard curves alongside the jsonl (`romp/train.py:65-78`)
+        if cfg.train.tensorboard:
+            from romp_tpu.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(osp.join(cfg.train.checkpoint_dir, "tb"))
+        else:
+            self.tb = None
 
     def _log(self, record: Dict) -> None:
         with open(self._log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.tb is not None and "step" in record:
+            scalars = {k: v for k, v in record.items()
+                       if isinstance(v, (int, float)) and k != "step"}
+            flat_val = {f"val/{k}": v
+                        for k, v in record.get("val", {}).items()
+                        if isinstance(v, (int, float))}
+            if scalars or flat_val:
+                self.tb.add_scalars({**scalars, **flat_val},
+                                    int(record["step"]))
+
+    def log_image_grid(self, tag: str, images, step: int) -> None:
+        """Best/worst sample grids (`romp/train.py:69-78` equivalent) —
+        callers pass uint8 (N, H, W, 3) RGB renders."""
+        if self.tb is not None:
+            self.tb.add_image_grid(tag, np.asarray(images), step)
 
     def fit(self, batches: Iterator[Dict], max_steps: Optional[int] = None
             ) -> Dict[str, float]:

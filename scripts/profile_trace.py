@@ -36,7 +36,7 @@ def main():
                     if k.startswith("backbone.")})
     cfg = TraceConfig(temp_clip_length=8, max_person=args.max_person,
                       conf_thresh=-1e9, compute_dtype="bfloat16",
-                      act_dtype="bfloat16")
+                      act_dtype="bfloat16", transfer_dtype="float16")
     sc = SeqConfig(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
                    tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
     flow_fn = None
