@@ -107,6 +107,37 @@ def main():
                                 "tracking" if ffn else "flow disabled"})
         print(json.dumps(results[-1]), flush=True)
 
+    # ---- ROMP training step (per-stage remat, bf16 activations) ----
+    from romp_tpu.train.priors import GmmPrior
+    from romp_tpu.train.train_step import (
+        TrainConfig, init_train_state, make_synthetic_batch, train_step,
+    )
+
+    tcfg = TrainConfig(compute_dtype="bfloat16", act_dtype="bfloat16",
+                       remat="stage")
+    tr_params = _irp(jax.random.PRNGKey(0))
+    prior = GmmPrior.synthetic(num_gaussians=2, seed=0)
+    tr_state = init_train_state(tr_params, tcfg)
+    tr_batch = make_synthetic_batch(jax.random.PRNGKey(1), batch_size=64,
+                                    input_size=512)
+    tstep = jax.jit(lambda s, b: train_step(s, b, smpl, tcfg, prior),
+                    donate_argnums=(0,))
+    tr_state, tmet = tstep(tr_state, tr_batch)
+    float(tmet["total"])                        # timing barrier
+
+    def run_train():
+        nonlocal tr_state
+        tr_state, m = tstep(tr_state, tr_batch)
+        float(m["total"])
+
+    t = _measure(run_train, iters=5, warmup=0)
+    results.append({"model": "romp_hrnet32_TRAIN_step", "batch": 64,
+                    "img_s": round(64 / t, 1),
+                    "p50_step_ms": round(t * 1e3, 1),
+                    "note": "stage remat + bf16 activations, full "
+                            "objective incl. GMM prior"})
+    print(json.dumps(results[-1]), flush=True)
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_ALL.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -59,13 +59,23 @@ def run_tool(model, settings) -> int:
         return 0
 
     if settings.mode == "webcam":
-        cap = WebcamVideoStream(settings.webcam_id).start()
+        # stream_factory: injectable for tests / non-camera sources (a
+        # stream is anything with start()/read()/stop() and a `stopped`
+        # flag); max_frames bounds the loop for smoke runs.
+        factory = getattr(settings, "stream_factory", None) \
+            or (lambda: WebcamVideoStream(settings.webcam_id))
+        max_frames = getattr(settings, "max_frames", None)
+        cap = factory().start()
+        n_done = 0
         try:
-            while True:
+            while max_frames is None or n_done < max_frames:
                 frame = cap.read()
                 if frame is None:
+                    if getattr(cap, "stopped", False):
+                        break
                     continue
                 outputs = model(np.asarray(frame))
+                n_done += 1
                 if settings.show and outputs is not None \
                         and "rendered_image" in outputs:
                     cv2.imshow("romp_tpu", outputs["rendered_image"])

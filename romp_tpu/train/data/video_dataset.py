@@ -439,3 +439,122 @@ def from_pw3d_video(seq_dir: str, image_dir: str, split: str = "train",
             }
         out.append(VideoSequence(frame_paths, subjects))
     return out
+
+
+def _group_by_sequence(names: Sequence[str]):
+    """imgname list -> {seq_key: [indices]} keeping frame order (frame id =
+    trailing number in the basename)."""
+    import re
+
+    groups: Dict[str, List[int]] = {}
+    for i, name in enumerate(names):
+        base = osp.basename(str(name))
+        m = re.match(r"^(.*?)[._-]?(\d+)\.(jpg|jpeg|png)$", base)
+        key = m.group(1) if m else base
+        groups.setdefault(osp.join(osp.dirname(str(name)), key),
+                          []).append(i)
+    return groups
+
+
+def from_h36m_video(npz_path: str, image_root: str = "",
+                    subsample: int = 5, map_size: int = 128
+                    ) -> List[VideoSequence]:
+    """H36M SPIN-layout npz ({imgname, S (N, 17, 4) camera-space 3D,
+    optional pose (N, 72)/shape (N, 10)}) grouped into per-video sequences
+    (`trace/lib/datasets/h36m.py:21-77` uses the same packs clip-wise).
+    Single-subject; the camera root (pelvis) gives the GT trajectory."""
+    from romp_tpu.models.trace import trace_cam_anchor
+
+    data = np.load(npz_path, allow_pickle=True)
+    names = [str(n) for n in data["imgname"]]
+    S = data["S"].astype(np.float32) if "S" in data.files else None
+    poses = data["pose"].astype(np.float32) if "pose" in data.files else None
+    betas = data["shape"].astype(np.float32) if "shape" in data.files \
+        else None
+    anchors = trace_cam_anchor()
+    out = []
+    for key, idxs in _group_by_sequence(names).items():
+        idxs = idxs[::subsample]
+        F = len(idxs)
+        if F < 2:
+            continue
+        frame_paths = [osp.join(image_root, names[i]) for i in idxs]
+        if S is not None:
+            root = S[idxs][:, 0, :3]            # pelvis, camera meters
+            valid = S[idxs][:, 0, 3] > 0
+        else:
+            root = np.tile(np.array([[0, 0, 5.0]], np.float32), (F, 1))
+            valid = np.ones(F, bool)
+        sub = {
+            "valid": valid.astype(bool),
+            "czyx": trans3d_to_czyx(root, anchors, map_size),
+            "trans3d": root,
+            "world_trans": root,
+            "pose": (poses[idxs][:, :66] if poses is not None
+                     else np.zeros((F, 66), np.float32)),
+            "betas": (np.pad(betas[idxs], ((0, 0), (0, 1)))
+                      if betas is not None
+                      else np.zeros((F, 11), np.float32)),
+        }
+        out.append(VideoSequence(frame_paths, {0: sub},
+                                 is_static_cam=True))
+    return out
+
+
+def from_mpi_inf_3dhp_video(npz_path: str, image_root: str = "",
+                            split: str = "train", map_size: int = 128
+                            ) -> List[VideoSequence]:
+    """MPI-INF-3DHP packed annots (same {img_name: {kp2d, kp3d,
+    univ_kp3d?, intrinsics?}} pack as the image converter) grouped into
+    per-sequence trajectories (`trace/lib/datasets/mpi_inf_3dhp.py`).
+    Camera-space roots come from the UNALIGNED kp3d pelvis (the image
+    converter root-centers; trajectories must keep absolute depth)."""
+    from romp_tpu.models.trace import trace_cam_anchor
+    from romp_tpu.train.data.skeletons import FORMATS
+
+    annots = np.load(npz_path, allow_pickle=True)["annots"][()]
+    anchors = trace_cam_anchor()
+    val_subjects = ("S8",)
+    names = sorted(annots)
+    pelvis_idx = FORMATS["mpiinf28"]["Pelvis"]
+    out = []
+    for key, idxs in _group_by_sequence(names).items():
+        subject = osp.basename(str(names[idxs[0]])).split("_")[0]
+        if (split == "train") == (subject in val_subjects):
+            continue
+        F = len(idxs)
+        if F < 2:
+            continue
+        frame_paths = [osp.join(image_root, names[i]) for i in idxs]
+        root = np.stack([np.asarray(annots[names[i]]["kp3d"],
+                                    np.float32)[pelvis_idx, :3]
+                         for i in idxs])
+        if np.abs(root).max() > 100.0:           # mm pack -> meters
+            root = root / 1000.0
+        sub = {
+            "valid": np.ones(F, bool),
+            "czyx": trans3d_to_czyx(root, anchors, map_size),
+            "trans3d": root,
+            "world_trans": root,
+            "pose": np.zeros((F, 66), np.float32),
+            "betas": np.zeros((F, 11), np.float32),
+        }
+        out.append(VideoSequence(frame_paths, {0: sub},
+                                 is_static_cam=True))
+    return out
+
+
+def from_internet_video(frame_dir: str, exts=("jpg", "jpeg", "png")
+                        ) -> List[VideoSequence]:
+    """Unannotated frame folder -> a VideoSequence with no subjects
+    (`trace/lib/datasets/internet_video.py`: inference / pseudo-label
+    material; the clip sampler only uses frame_paths)."""
+    import glob as _glob
+
+    paths: List[str] = []
+    for e in exts:
+        paths += _glob.glob(osp.join(frame_dir, f"*.{e}"))
+    paths = sorted(paths)
+    if not paths:
+        return []
+    return [VideoSequence(paths, {}, is_static_cam=True)]

@@ -72,3 +72,54 @@ def test_temporal_optimizer_video_flow(tmp_path):
     assert len(seqs) == 2
     for tid, seq in seqs.items():
         assert seq["frame_id"] == [0, 1, 2]
+
+
+def test_webcam_mode_with_fake_stream(tmp_path):
+    """Webcam loop smoke test: a synthetic frame stream stands in for the
+    camera (no capture device in this environment); the loop must consume
+    frames, call the model, and terminate on stream end / max_frames."""
+    import numpy as np
+
+    from romp_tpu.cli.runner import run_tool
+
+    class FakeStream:
+        def __init__(self, n):
+            self.n = n
+            self.stopped = False
+
+        def start(self):
+            return self
+
+        def read(self):
+            if self.n == 0:
+                self.stopped = True
+                return None
+            self.n -= 1
+            return np.zeros((48, 64, 3), np.uint8)
+
+        def stop(self):
+            self.stopped = True
+
+    calls = []
+
+    def model(frame):
+        calls.append(frame.shape)
+        return None
+
+    class S:
+        mode = "webcam"
+        show = False
+        webcam_id = 0
+        stream_factory = staticmethod(lambda: FakeStream(5))
+        max_frames = None
+
+    assert run_tool(model, S()) == 0
+    assert len(calls) == 5                      # consumed all frames
+
+    class S2(S):
+        stream_factory = staticmethod(lambda: FakeStream(100))
+        max_frames = 3
+
+    calls.clear()
+    assert run_tool(model, S2()) == 0
+    assert len(calls) == 3                      # bounded by max_frames

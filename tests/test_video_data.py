@@ -169,3 +169,106 @@ def test_from_penn_action_mats(tmp_path):
     assert (sub["trans3d"][:, 2] > 0.3).all()      # plausible pseudo-depth
     assert (sub["czyx"] >= 0).all()
     assert s.frame_paths[0].endswith(osp.join("0001", "000001.jpg"))
+
+
+def test_from_h36m_video(tmp_path):
+    import numpy as np
+
+    from romp_tpu.train.data.video_dataset import from_h36m_video
+
+    rng = np.random.RandomState(0)
+    F = 12
+    names = ([f"S1_Walking.54138969_{i:06d}.jpg" for i in range(F)]
+             + [f"S1_Eating.54138969_{i:06d}.jpg" for i in range(F)])
+    S = np.zeros((2 * F, 17, 4), np.float32)
+    S[:, :, :3] = rng.randn(2 * F, 17, 3)
+    S[:, 0, 2] = 4.0                     # pelvis depth
+    S[:, :, 3] = 1.0
+    pose = rng.randn(2 * F, 72).astype(np.float32) * 0.1
+    shape = rng.randn(2 * F, 10).astype(np.float32) * 0.1
+    np.savez(tmp_path / "h36m.npz", imgname=np.array(names), S=S,
+             pose=pose, shape=shape)
+    seqs = from_h36m_video(str(tmp_path / "h36m.npz"), image_root="/img",
+                           subsample=2)
+    assert len(seqs) == 2
+    s = seqs[0]
+    assert s.num_frames == F // 2
+    sub = s.subjects[0]
+    assert sub["pose"].shape == (F // 2, 66)
+    assert sub["betas"].shape == (F // 2, 11)
+    assert sub["czyx"].dtype == np.int32
+    np.testing.assert_allclose(sub["trans3d"][:, 2], 4.0)
+    assert s.frame_paths[0].startswith("/img/")
+
+
+def test_from_mpi_inf_3dhp_video(tmp_path):
+    import numpy as np
+
+    from romp_tpu.train.data.video_dataset import from_mpi_inf_3dhp_video
+
+    rng = np.random.RandomState(1)
+    annots = {}
+    for subj in ("S1", "S8"):
+        for i in range(6):
+            kp3d = rng.randn(28, 3).astype(np.float32)
+            kp3d[4, 2] = 3.0
+            annots[f"{subj}_Seq1_V0_{i:05d}.jpg"] = {
+                "kp2d": rng.rand(28, 2) * 512, "kp3d": kp3d}
+    np.savez(tmp_path / "mpiinf.npz", annots=annots)
+    train = from_mpi_inf_3dhp_video(str(tmp_path / "mpiinf.npz"),
+                                    split="train")
+    val = from_mpi_inf_3dhp_video(str(tmp_path / "mpiinf.npz"),
+                                  split="val")
+    assert len(train) == 1 and len(val) == 1
+    np.testing.assert_allclose(train[0].subjects[0]["trans3d"][:, 2], 3.0)
+    assert "S1" in train[0].frame_paths[0]
+    assert "S8" in val[0].frame_paths[0]
+
+
+def test_from_internet_video(tmp_path):
+    import cv2
+    import numpy as np
+
+    from romp_tpu.train.data.video_dataset import from_internet_video
+
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"f{i:04d}.jpg"),
+                    np.zeros((8, 8, 3), np.uint8))
+    seqs = from_internet_video(str(tmp_path))
+    assert len(seqs) == 1 and seqs[0].num_frames == 3
+    assert seqs[0].subjects == {}
+    assert from_internet_video(str(tmp_path / "empty")) == []
+
+
+def test_h36m_frame_extractor(tmp_path):
+    import cv2
+    import numpy as np
+
+    from romp_tpu.tools.extract_h36m_frames import (
+        extract_subject, extract_video,
+    )
+
+    vid_dir = tmp_path / "S1" / "Videos"
+    vid_dir.mkdir(parents=True)
+    for name in ("Walking 1.54138969.mp4", "Walking 1_ALL.55011271.mp4"):
+        w = cv2.VideoWriter(str(vid_dir / name),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 24))
+        for i in range(22):
+            frame = np.full((24, 32, 3), i * 10, np.uint8)
+            w.write(frame)
+        w.release()
+
+    out = tmp_path / "frames"
+    out.mkdir()
+    written = extract_subject("S1", str(tmp_path), str(out), every=5,
+                              max_frames=3)
+    # frames 5, 10, 15 of the non-_ALL video only (frame 0 skipped)
+    assert len(written) == 3
+    assert all("S1_Walking 1_0_" in p for p in written)
+    img = cv2.imread(written[0])
+    assert img is not None and img.shape == (24, 32, 3)
+
+    # direct single-video call honors `every`
+    w2 = extract_video(str(vid_dir / "Walking 1.54138969.mp4"),
+                       str(out), every=10, max_frames=0)
+    assert len(w2) == 2                       # frames 10 and 20
