@@ -82,6 +82,7 @@ class BEV:
             relative_scale_thresh=settings.relative_scale_thresh,
             compute_dtype=settings.compute_dtype,
             calc_smpl=settings.calc_smpl,
+            transfer_dtype=getattr(settings, "transfer_dtype", "float32"),
         )
         self.pipeline = BevPipeline(params, SmplModel.from_assets(adult),
                                     SmplModel.from_assets(baby), cfg)
@@ -94,9 +95,9 @@ class BEV:
             self.renderer = setup_renderer(settings.renderer)
 
     def __call__(self, bgr_image: np.ndarray) -> Optional[Dict]:
-        import jax.numpy as jnp
+        import jax
 
-        from romp_tpu.ops.projection import convert_to_org_image_coords
+        from romp_tpu.ops.projection import convert_to_org_image_coords_np
         from romp_tpu.pipeline.crowd import process_long_image
         from romp_tpu.pipeline.video import filter_valid
         from romp_tpu.utils.io import img_preprocess
@@ -111,8 +112,11 @@ class BEV:
             pad_info = res.pop("pad_info")
         else:
             image, pad_info = img_preprocess(bgr_image)
+            # uint8 upload + one batched fetch (see cli/romp.py — the
+            # batch-1 path is round-trip-bound on a tunneled device)
+            image = np.clip(image, 0, 255).astype(np.uint8)
             out = self.pipeline(image)
-            res = filter_valid({k: np.asarray(v) for k, v in out.items()})
+            res = filter_valid(jax.device_get(out))
             if res.get("cam", np.zeros((0,))).shape[0] == 0:
                 print("No person detected!")
                 return None
@@ -122,11 +126,11 @@ class BEV:
                     return None
 
         if "pj2d" in res:
-            res["pj2d_org"] = np.asarray(convert_to_org_image_coords(
-                jnp.asarray(res["pj2d"]), jnp.asarray(pad_info)))
+            res["pj2d_org"] = convert_to_org_image_coords_np(
+                res["pj2d"], pad_info)
         if "verts_camed" in res:
-            res["verts_camed_org"] = np.asarray(convert_to_org_image_coords(
-                jnp.asarray(res["verts_camed"]), jnp.asarray(pad_info)))
+            res["verts_camed_org"] = convert_to_org_image_coords_np(
+                res["verts_camed"], pad_info)
         if self.renderer is not None and "verts_camed_org" in res:
             from romp_tpu.vis.compositor import render_results
 

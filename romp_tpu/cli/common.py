@@ -47,6 +47,11 @@ def add_common_flags(parser: argparse.ArgumentParser, tool: str):
                         help="fixed per-image person capacity (TPU shapes)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--transfer_dtype", type=str, default="float16",
+                        choices=["float32", "float16"],
+                        help="dtype per-vertex outputs are fetched in; "
+                             "float16 halves the device->host transfer "
+                             "(sub-mm quantization)")
 
 
 def load_checkpoint_flexible(path: str, init_fn) -> Dict[str, "np.ndarray"]:

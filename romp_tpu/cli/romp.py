@@ -59,6 +59,7 @@ class ROMP:
             root_align=settings.root_align,
             compute_dtype=settings.compute_dtype,
             calc_smpl=settings.calc_smpl,
+            transfer_dtype=getattr(settings, "transfer_dtype", "float32"),
         )
         self.pipeline = RompPipeline(params, SmplModel.from_assets(assets),
                                      cfg)
@@ -71,12 +72,19 @@ class ROMP:
             self.renderer = setup_renderer(settings.renderer)
 
     def __call__(self, bgr_image: np.ndarray) -> Optional[Dict]:
+        import jax
+
         from romp_tpu.pipeline.video import filter_valid
         from romp_tpu.utils.io import img_preprocess
 
         image, pad_info = img_preprocess(bgr_image)
+        # uint8 upload (4x smaller) + ONE batched fetch of all outputs:
+        # per-key np.asarray fetches and eager coordinate unmapping each
+        # cost a full round trip on a remote-tunneled device (the batch-1
+        # CLI path was RTT-bound, not compute-bound).
+        image = np.clip(image, 0, 255).astype(np.uint8)
         out = self.pipeline(image)
-        res = filter_valid({k: np.asarray(v) for k, v in out.items()})
+        res = filter_valid(jax.device_get(out))
         if res.get("cam", np.zeros((0,))).shape[0] == 0:
             print("No person detected!")
             return None
@@ -84,16 +92,16 @@ class ROMP:
             res = self.temporal(res)
             if res is None:
                 return None
-        # map projections back to the original image frame
-        from romp_tpu.ops.projection import convert_to_org_image_coords
-        import jax.numpy as jnp
+        # map projections back to the original image frame (host numpy —
+        # a trivial affine, no reason to pay device round trips)
+        from romp_tpu.ops.projection import convert_to_org_image_coords_np
 
         if "pj2d" in res:
-            res["pj2d_org"] = np.asarray(convert_to_org_image_coords(
-                jnp.asarray(res["pj2d"]), jnp.asarray(pad_info)))
+            res["pj2d_org"] = convert_to_org_image_coords_np(
+                res["pj2d"], pad_info)
         if "verts_camed" in res:
-            res["verts_camed_org"] = np.asarray(convert_to_org_image_coords(
-                jnp.asarray(res["verts_camed"]), jnp.asarray(pad_info)))
+            res["verts_camed_org"] = convert_to_org_image_coords_np(
+                res["verts_camed"], pad_info)
         if self.renderer is not None and "verts_camed_org" in res:
             from romp_tpu.vis.compositor import render_results
 

@@ -55,6 +55,23 @@ def convert_to_org_image_coords(kps: jax.Array, pad_info: jax.Array,
     return jnp.stack(out, axis=-1)
 
 
+def convert_to_org_image_coords_np(kps, pad_info):
+    """Host-side numpy twin of convert_to_org_image_coords: the unmapping
+    is a trivial affine, and doing it eagerly on a remote-tunneled device
+    costs 3 round trips (upload, op, fetch) per tensor in the batch-1 CLI
+    path."""
+    import numpy as np
+
+    kps = np.asarray(kps, np.float32)
+    top, left = float(pad_info[0]), float(pad_info[2])
+    size = float(max(pad_info[4], pad_info[5]))
+    out = [(kps[..., 0] + 1.0) * size / 2.0 - left,
+           (kps[..., 1] + 1.0) * size / 2.0 - top]
+    if kps.shape[-1] == 3:
+        out.append((kps[..., 2] + 1.0) * size / 2.0)
+    return np.stack(out, axis=-1)
+
+
 def cam_to_3d_trans(cam: jax.Array, weight: float = 2.0) -> jax.Array:
     """(s, tx, ty) -> rough 3D translation (dx, dy, depth) * weight."""
     s, tx, ty = cam[..., 0], cam[..., 1], cam[..., 2]

@@ -39,6 +39,8 @@ class BevConfig:
     compute_dtype: str = "float32"
     act_dtype: str = "float32"     # bfloat16 = folded-BN fast path
     calc_smpl: bool = True
+    transfer_dtype: str = "float32"  # float16 halves the verts fetch
+    # (cast applied AFTER the pruning passes — NMS math stays f32)
 
 
 def unpack_bev_params(params_pred: jax.Array) -> Dict[str, jax.Array]:
@@ -171,6 +173,10 @@ def bev_inference(params: Dict[str, jax.Array], smpl_adult: SmplModel,
                                         cfg.outlier_scale_thresh)
     )(out["cam_trans"], out["cam"][..., 0], mask)
     out["mask"] = mask
+    if cfg.transfer_dtype == "float16":
+        for k in ("verts", "joints", "pj2d", "verts_camed"):
+            # clamp into f16 range (degenerate slots -> inf otherwise)
+            out[k] = jnp.clip(out[k], -6.0e4, 6.0e4).astype(jnp.float16)
     return out
 
 

@@ -42,6 +42,10 @@ class RompConfig:
     # halves activation HBM traffic (folded-BN fast path, small accuracy cost)
     calc_smpl: bool = True
     backbone: str = "hrnet32"       # or "resnet50"
+    # dtype the big per-vertex outputs (verts/joints/pj2d/verts_camed) are
+    # returned in. float16 halves the dominant host<-device fetch in the
+    # batch-1 CLI/webcam path (sub-mm quantization); float32 = exact.
+    transfer_dtype: str = "float32"
 
 
 def unpack_params(params_pred: jax.Array, cam_scale_base: float) -> Dict[str, jax.Array]:
@@ -117,11 +121,17 @@ def romp_inference(params: Dict[str, jax.Array], smpl: SmplModel,
         j24, pj24_pix, w, focal_length=443.4, img_size=float(cfg.input_size))
 
     unflat = lambda a: a.reshape(B, K, *a.shape[1:])
+    if cfg.transfer_dtype == "float16":
+        # clamp into f16 range: degenerate slots can hold huge values that
+        # would otherwise become inf in transit
+        tcast = lambda a: jnp.clip(a, -6.0e4, 6.0e4).astype(jnp.float16)
+    else:
+        tcast = lambda a: a
     out.update({
-        "verts": unflat(verts),
-        "joints": unflat(joints),
-        "pj2d": unflat(pj2d),
-        "verts_camed": unflat(verts_camed),
+        "verts": tcast(unflat(verts)),
+        "joints": tcast(unflat(joints)),
+        "pj2d": tcast(unflat(pj2d)),
+        "verts_camed": tcast(unflat(verts_camed)),
         "cam_trans": unflat(cam_trans),
     })
     return out

@@ -158,9 +158,13 @@ def _trace_smpl_stage(params_pred, normed_cams, cam_rot, smpls,
                                   img_size=input_size)
     world_grots = rot6d_to_axis_angle(
         (cam_rot + params_pred[..., 6:12]).reshape(N * T, 6))
-    tdt = jnp.float16 if transfer_dtype == "float16" else jnp.float32
-    return (thetas, betas, verts.astype(tdt), joints.astype(tdt),
-            cam_trans, pj2d.astype(tdt), world_grots)
+    if transfer_dtype == "float16":
+        # clamp into f16 range (degenerate slots -> inf otherwise)
+        tcast = lambda a: jnp.clip(a, -6.0e4, 6.0e4).astype(jnp.float16)
+    else:
+        tcast = lambda a: a
+    return (thetas, betas, tcast(verts), tcast(joints),
+            cam_trans, tcast(pj2d), world_grots)
 
 
 TAN_FOV_HALF_TRACE_J = float(np.tan(np.radians(25.0)))
