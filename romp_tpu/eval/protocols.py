@@ -226,6 +226,88 @@ def pw3d_evaluate(submit_dir: str, truth_dir: str,
                       mats_gt if mats_gt.size else None)
 
 
+SMPL_PARENTS = (-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14,
+                16, 17, 18, 19, 20, 21)
+
+
+def pw3d_global_orientations(pose72: np.ndarray) -> np.ndarray:
+    """(..., 72) axis-angle -> (..., 9, 3, 3) global rotations at
+    PW3D_OR_JOINTS, composing down the SMPL kinematic tree
+    (collect_3DPW_results.py:134-151 process_params)."""
+    from scipy.spatial.transform import Rotation
+
+    lead = pose72.shape[:-1]
+    rots = Rotation.from_rotvec(
+        pose72.reshape(-1, 3)).as_matrix().reshape(*lead, 24, 3, 3)
+    glob = np.empty_like(rots)
+    glob[..., 0, :, :] = rots[..., 0, :, :]
+    for j in range(1, 24):
+        glob[..., j, :, :] = (glob[..., SMPL_PARENTS[j], :, :]
+                              @ rots[..., j, :, :])
+    return glob[..., PW3D_OR_JOINTS, :, :]
+
+
+class Pw3dSubmissionCollector:
+    """Accumulate per-frame predictions into the official 3DPW-challenge
+    submission layout and write the pkls
+    (`romp/lib/evaluation/collect_3DPW_results.py:32-160`): per action a
+    (subjects, frames, 24, 3) jointPositions array, (S, F, 82) smpl_params
+    and (S, F, 9, 3, 3) global orientations; missing frames are filled from
+    the nearest neighbouring frame (:118-133)."""
+
+    def __init__(self, truth_dir: str):
+        self.layout: Dict[str, Tuple[str, int, int]] = {}
+        self.results: Dict[str, List[np.ndarray]] = {}
+        for split in ("train", "validation", "test"):
+            for path in sorted(glob.glob(osp.join(truth_dir, split,
+                                                  "*.pkl"))):
+                with open(path, "rb") as f:
+                    gt = pickle.load(f, encoding="latin1")
+                action = osp.basename(path)[:-4]
+                n_sub = len(gt["poses"])
+                n_frames = len(gt["img_frame_ids"]) \
+                    if "img_frame_ids" in gt else np.asarray(
+                        gt["poses"][0]).shape[0]
+                self.layout[action] = (split, n_sub, n_frames)
+                self.results[action] = [
+                    np.zeros((n_sub, n_frames, 24, 3)),
+                    np.zeros((n_sub, n_frames, 82)),
+                    np.zeros((n_sub, n_frames, 9, 3, 3))]
+
+    def add(self, action: str, frame_id: int, subject_id: int,
+            pose72: np.ndarray, betas10: np.ndarray,
+            joints24: np.ndarray) -> None:
+        jp, par, rot = self.results[action]
+        jp[subject_id, frame_id] = joints24
+        par[subject_id, frame_id] = np.concatenate(
+            [pose72.reshape(72), betas10.reshape(-1)[:10]])
+        rot[subject_id, frame_id] = pw3d_global_orientations(
+            pose72.reshape(72))
+
+    def _fill_empty(self) -> None:
+        for action, (_, n_sub, n_frames) in self.layout.items():
+            arrays = self.results[action]
+            for s in range(n_sub):
+                for f in range(n_frames):
+                    if arrays[0][s, f, 0, 0] == 0:
+                        src = f - 1 if f != 0 else 1
+                        for a in arrays:
+                            a[s, f] = a[s, src]
+
+    def write(self, submit_dir: str) -> None:
+        import os
+
+        self._fill_empty()
+        for action, (split, _, _) in self.layout.items():
+            os.makedirs(osp.join(submit_dir, split), exist_ok=True)
+            jp, par, rot = self.results[action]
+            payload = {"jointPositions": jp, "smpl_params": par,
+                       "orientations": rot}
+            with open(osp.join(submit_dir, split, f"{action}.pkl"),
+                      "wb") as f:
+                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
 # =========================================================================
 # Relative Human protocol
 # =========================================================================

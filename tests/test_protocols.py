@@ -258,3 +258,77 @@ def test_mupots_pck_groups():
     # AUC for 100mm errors: thresholds 105..195 of 0..195 pass -> 19/40
     np.testing.assert_allclose(aucs[0][0], 19 / 40)
     assert len(MUPOTS_ALL_JOINTS) == 14
+
+
+def test_pw3d_collector_roundtrip_scores_zero(tmp_path):
+    """Full collect -> write -> official-evaluate loop on the fixture:
+    feeding the GT back through the collector must score ~zero."""
+    import pickle
+
+    from romp_tpu.eval.protocols import (
+        Pw3dSubmissionCollector, make_gt_smpl_fn, pw3d_evaluate,
+    )
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    smpl_fn = _make_pw3d_fixture(tmp_path)
+    # add img_frame_ids to the GT (the collector reads the official field)
+    gt_path = tmp_path / "truth" / "test" / "seq0.pkl"
+    gt = pickle.load(open(gt_path, "rb"), encoding="latin1")
+    N = np.asarray(gt["poses"][0]).shape[0]
+    gt["img_frame_ids"] = np.arange(N)
+    pickle.dump(gt, open(gt_path, "wb"))
+
+    from romp_tpu.eval.protocols import pw3d_apply_camera
+
+    col = Pw3dSubmissionCollector(str(tmp_path / "truth"))
+    assert col.layout["seq0"] == ("test", 2, N)
+    for s, gender in enumerate(gt["genders"]):
+        poses = np.asarray(gt["poses"])[s]
+        betas = np.tile(np.asarray(gt["betas"][s])[None, :10], (N, 1))
+        trans = np.asarray(gt["trans"])[s]
+        j24, glob = smpl_fn(gender, poses, betas, trans)
+        cams = np.asarray(gt["cam_poses"])
+        j24, _ = pw3d_apply_camera(j24, glob, cams)
+        # leave frame 2 missing -> exercised fill_empty
+        for f in range(N):
+            if f == 2:
+                continue
+            col.add("seq0", f, s, poses[f], betas[f], j24[f])
+    col.write(str(tmp_path / "submit2"))
+
+    out = pw3d_evaluate(str(tmp_path / "submit2"), str(tmp_path / "truth"),
+                        smpl_fn)
+    # frame 2 was filled from frame 1 -> small but bounded error; all other
+    # frames exact. Orientation error: the collector writes MODEL-frame
+    # global rotations while GT is camera-frame — identity camera here.
+    assert out["MPJPE"] < 30.0
+    assert out["MPJPE_PA"] < 30.0
+    # 3 of 4 scored frames exact, 1 neighbour-filled with an uncorrelated
+    # random pose -> PCK ~ 75% + a few filled joints inside 50mm
+    assert out["PCK"] > 70.0
+
+
+def test_pw3d_global_orientations_chain():
+    from romp_tpu.eval.protocols import (
+        PW3D_OR_JOINTS, pw3d_global_orientations,
+    )
+
+    # root-only rotation propagates to every selected joint
+    pose = np.zeros(72)
+    pose[:3] = [0, 0, np.pi / 2]
+    rots = pw3d_global_orientations(pose)
+    assert rots.shape == (9, 3, 3)
+    expected = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    for r in rots:
+        np.testing.assert_allclose(r, expected, atol=1e-12)
+    # L_Hip (joint 1) local rotation affects L_Hip + L_Knee entries only
+    pose2 = np.zeros(72)
+    pose2[3:6] = [0.3, 0, 0]
+    rots2 = pw3d_global_orientations(pose2)
+    sel = list(PW3D_OR_JOINTS)
+    for i, j in enumerate(sel):
+        if j in (1, 4):                     # L_Hip and its child L_Knee
+            assert not np.allclose(rots2[i], np.eye(3))
+        else:
+            np.testing.assert_allclose(rots2[i], np.eye(3), atol=1e-12)
