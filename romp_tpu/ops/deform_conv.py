@@ -100,14 +100,17 @@ def deform_conv2d(x: jax.Array, offsets: jax.Array, weight: jax.Array,
     out = jnp.zeros((B, P, weight.shape[-1]), jnp.float32)
     for k in range(K):                           # static unroll, K = 9
         w_row = onehot_lin(ys[:, :, k], hgrid)   # (B, G, P, H)
+        # rows is the big intermediate ((B, G, P, W*Cg) — ~1 GB/tap at
+        # f32); it holds sums of <= 2 input values, so bf16 storage is
+        # lossless to ~3 decimal digits and HALVES the dominant HBM
+        # traffic of this op.
         rows = jnp.einsum("bgph,bghd->bgpd", w_row, xg_rows,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=x.dtype)
         rows = rows.reshape(B, G, P, W, Cg)
         w_col = onehot_lin(xs[:, :, k], wgrid)   # (B, G, P, W)
-        samp = jnp.einsum("bgpw,bgpwc->bgpc", w_col,
-                          rows.astype(x.dtype),
-                          preferred_element_type=jnp.float32)
-        out = out + jnp.einsum("bgpc,gco->bpo", samp.astype(x.dtype),
+        samp = jnp.einsum("bgpw,bgpwc->bgpc", w_col, rows,
+                          preferred_element_type=x.dtype)
+        out = out + jnp.einsum("bgpc,gco->bpo", samp,
                                wk[k].astype(x.dtype),
                                preferred_element_type=jnp.float32)
     return out.reshape(B, H, W, -1)

@@ -72,3 +72,4 @@ def test_deform_groups_independent():
                                xn[0, 3:-3, 3:-3, 0], atol=1e-5)
     np.testing.assert_allclose(out[0, 3:-3, 3:-3, 1],
                                xn[0, 5:-1, 3:-3, 7], atol=1e-5)
+
