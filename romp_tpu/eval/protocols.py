@@ -626,6 +626,58 @@ def mupots_match_2d(gt_kp2ds: np.ndarray, pred_kp2ds: np.ndarray,
     return matched
 
 
+def mupots_evaluate(gt: Dict[str, Dict[str, np.ndarray]],
+                    preds: Dict[str, Sequence[Dict[str, np.ndarray]]],
+                    thresh_2d: float = 100.0,
+                    pck_thresh: float = 150.0) -> Dict[str, float]:
+    """Full MuPoTS scoring: per-frame 2D matching -> root-relative
+    per-joint 3D errors -> per-sequence grouped PCK/AUC
+    (`trace/lib/evaluation/mupots_util/` evaluate+matcher glued the way
+    the reference's eval scripts use them).
+
+    gt: seq -> {"kp2ds" (F, P, 17, 2), "kp3ds" (F, P, 17, 3) mm,
+    "valid" (F, P) bool}; preds: seq -> per-frame list of
+    {"kp2ds" (N, 17, 2), "kp3ds" (N, 17, 3) mm}.
+    Returns overall PCK/AUC (mean over sequences) + per-sequence PCKs.
+    """
+    seq_errs = []
+    names = sorted(gt)
+    for seq in names:
+        g = gt[seq]
+        errs = []
+        F = g["kp2ds"].shape[0]
+        for f in range(F):
+            valid = np.asarray(g.get(
+                "valid", np.ones(g["kp2ds"].shape[:2], bool)))[f]
+            gt2d = g["kp2ds"][f][valid]               # (Pv, 17, 2)
+            gt3d = g["kp3ds"][f][valid]
+            if not len(gt2d):
+                continue
+            pr = preds.get(seq, [])
+            pr = pr[f] if f < len(pr) else {"kp2ds": np.zeros((0, 17, 2)),
+                                            "kp3ds": np.zeros((0, 17, 3))}
+            m = mupots_match_2d(gt2d.transpose(0, 2, 1),
+                                np.asarray(pr["kp2ds"]).transpose(0, 2, 1),
+                                thresh=thresh_2d)
+            for gi, pi in enumerate(m):
+                if pi < 0:
+                    # unmatched GT counts as all-wrong (inf error)
+                    errs.append(np.full(17, np.inf))
+                    continue
+                p3 = np.asarray(pr["kp3ds"][pi], np.float64)
+                g3 = np.asarray(gt3d[gi], np.float64)
+                p3 = p3 - p3[MUPOTS_ROOT]
+                g3 = g3 - g3[MUPOTS_ROOT]
+                errs.append(np.linalg.norm(p3 - g3, axis=-1))
+        seq_errs.append(errs if errs else [np.full(17, np.inf)])
+    _, pcks, aucs = mupots_pck(seq_errs, pck_thresh)
+    out = {"PCK": float(np.mean([p[-1] for p in pcks])) * 100.0,
+           "AUC": float(np.mean([np.mean(a) for a in aucs])) * 100.0}
+    for name, p in zip(names, pcks):
+        out[f"PCK_{name}"] = p[-1] * 100.0
+    return out
+
+
 def mupots_pck(seq_err: Sequence[Sequence[np.ndarray]],
                pck_thresh: float = 150.0
                ) -> Tuple[List, List, List]:

@@ -332,3 +332,44 @@ def test_pw3d_global_orientations_chain():
             assert not np.allclose(rots2[i], np.eye(3))
         else:
             np.testing.assert_allclose(rots2[i], np.eye(3), atol=1e-12)
+
+
+def test_mupots_evaluate_end_to_end():
+    from romp_tpu.eval.protocols import mupots_evaluate
+
+    rng = np.random.RandomState(0)
+    F, P = 4, 2
+    gt, preds = {}, {}
+    for seq in ("TS1", "TS2"):
+        kp3d = rng.randn(F, P, 17, 3) * 300
+        kp2d = kp3d[..., :2] / 5.0 + 500
+        gt[seq] = {"kp2ds": kp2d, "kp3ds": kp3d,
+                   "valid": np.ones((F, P), bool)}
+        frames = []
+        for f in range(F):
+            order = [1, 0]                     # shuffled detections
+            frames.append({"kp2ds": kp2d[f][order],
+                           "kp3ds": kp3d[f][order]})
+        preds[seq] = frames
+    out = mupots_evaluate(gt, preds)
+    np.testing.assert_allclose(out["PCK"], 100.0)
+    np.testing.assert_allclose(out["PCK_TS1"], 100.0)
+    assert out["AUC"] > 95.0
+
+    # degrade one sequence: 200mm offset on every joint of TS2 -> PCK@150
+    # fails there, passes on TS1
+    preds2 = {s: [{"kp2ds": fr["kp2ds"],
+                   "kp3ds": fr["kp3ds"] + (200.0 if s == "TS2" else 0.0)
+                   * np.array([1.0, 0, 0])}
+                  for fr in frames_] for s, frames_ in preds.items()}
+    out2 = mupots_evaluate(gt, preds2)
+    np.testing.assert_allclose(out2["PCK_TS1"], 100.0)
+    # offset is removed at the root... shift is GLOBAL so root-relative
+    # cancels it; instead knock out detections entirely in TS2
+    preds3 = dict(preds)
+    preds3["TS2"] = [{"kp2ds": np.zeros((0, 17, 2)),
+                      "kp3ds": np.zeros((0, 17, 3))} for _ in range(F)]
+    out3 = mupots_evaluate(gt, preds3)
+    np.testing.assert_allclose(out3["PCK_TS2"], 0.0)
+    np.testing.assert_allclose(out3["PCK_TS1"], 100.0)
+    np.testing.assert_allclose(out3["PCK"], 50.0)
