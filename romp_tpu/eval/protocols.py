@@ -550,6 +550,88 @@ def rh_load_results(path: str) -> Dict:
 
 
 # =========================================================================
+# AGORA protocol (submission writer)
+# =========================================================================
+
+AGORA_DEFAULT_K = np.array([[995.55555556, 0.0, 640.0],
+                            [0.0, 995.55555556, 360.0],
+                            [0.0, 0.0, 1.0]])
+
+
+def agora_refine_translation(j3ds: np.ndarray, pj2ds: np.ndarray,
+                             org_trans: np.ndarray,
+                             cam_K: np.ndarray) -> np.ndarray:
+    """Per-person camera translation from root-relative joints + their 2D
+    projections (`eval_AGORA.py:60-77`). The reference runs
+    cv2.solvePnPRansac(EPNP) and keeps only tvec; the joints are already
+    posed in the camera orientation, so this is a translation-only
+    least-squares — solved here with the same lstsq core the pipelines use
+    (no cv2). Falls back to org_trans for degenerate inputs."""
+    import jax.numpy as jnp
+
+    from romp_tpu.ops.projection import estimate_translation_lstsq
+
+    n, j = j3ds.shape[:2]
+    f = float((cam_K[0, 0] + cam_K[1, 1]) / 2.0)
+    out = np.array(estimate_translation_lstsq(
+        jnp.asarray(j3ds, jnp.float32),
+        jnp.asarray(pj2ds, jnp.float32),
+        jnp.ones((n, j), jnp.float32), focal_length=f,
+        img_size=(float(cam_K[0, 2] * 2.0), float(cam_K[1, 2] * 2.0))))
+    bad = ~np.isfinite(out).all(-1)
+    out[bad] = org_trans[bad]
+    return out
+
+
+def agora_save_predictions(outputs: Dict[str, np.ndarray], image_path: str,
+                           save_dir: str,
+                           cam_K: Optional[np.ndarray] = None,
+                           refine_trans: bool = True) -> List[str]:
+    """Write the official AGORA per-person submission pkls
+    (`eval_AGORA.py:79-105` save_agora_predictions_v6): one
+    {img}_personId_{i}.pkl per detection with SMPL params (11 betas, kid
+    flag), camera translation (optionally PnP-refined against the
+    provided intrinsics), and 2D joints scaled to the 3840-wide originals.
+
+    outputs: the BEV python-API dict (smpl_thetas, smpl_betas, cam_trans,
+    joints, pj2d_org). Returns written paths.
+    """
+    import os
+
+    os.makedirs(save_dir, exist_ok=True)
+    thetas = np.asarray(outputs["smpl_thetas"])
+    betas = np.asarray(outputs["smpl_betas"])
+    trans = np.asarray(outputs["cam_trans"], np.float32).copy()
+    pj2d = np.asarray(outputs["pj2d_org"])
+    if refine_trans and "joints" in outputs:
+        j3 = np.asarray(outputs["joints"])[:, :24]
+        j3 = j3 - j3[:, :1]
+        trans = agora_refine_translation(
+            j3, pj2d[:, :24], trans,
+            AGORA_DEFAULT_K if cam_K is None else cam_K)
+
+    img_name = osp.basename(image_path)
+    for ext in (".png", ".jpg", ".jpeg"):
+        if img_name.endswith(ext):
+            img_name = img_name[:-len(ext)]
+    written = []
+    for i in range(len(thetas)):
+        rec = {"params": {
+                   "global_orient": thetas[i, :3].reshape(1, 1, 3),
+                   "body_pose": thetas[i, 3:72].reshape(1, 23, 3),
+                   "betas": betas[i][None],
+                   "transl": trans[i][None]},
+               "pose2rot": True, "num_betas": betas.shape[-1],
+               "gender": "neutral", "age": "kid", "kid_flag": True,
+               "joints": (pj2d[i, :24] + 1.0) * 3840.0 / 1280.0}
+        path = osp.join(save_dir, f"{img_name}_personId_{i}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(rec, f, protocol=pickle.HIGHEST_PROTOCOL)
+        written.append(path)
+    return written
+
+
+# =========================================================================
 # MuPoTS protocol
 # =========================================================================
 

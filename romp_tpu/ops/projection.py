@@ -94,9 +94,12 @@ def estimate_translation_lstsq(joints3d: jax.Array, joints2d: jax.Array,
     joints3d: (B, N, 3); joints2d: (B, N, 2) in pixels; weights: (B, N)
     {0,1} validity. Returns (B, 3).
     """
-    # Square-pad preprocessing makes the principal point symmetric, but keep
-    # cx/cy distinct so a non-square img_size pair stays correct.
-    cx = cy = img_size / 2.0
+    # img_size: float (square, principal point at center) or an (w, h)
+    # pair for non-square intrinsics (e.g. the AGORA 1280x720 cameras).
+    if isinstance(img_size, (tuple, list)):
+        cx, cy = img_size[0] / 2.0, img_size[1] / 2.0
+    else:
+        cx = cy = img_size / 2.0
     f = focal_length
     X, Y, Z = joints3d[..., 0], joints3d[..., 1], joints3d[..., 2]
     u, v = joints2d[..., 0], joints2d[..., 1]

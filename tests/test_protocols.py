@@ -373,3 +373,41 @@ def test_mupots_evaluate_end_to_end():
     np.testing.assert_allclose(out3["PCK_TS2"], 0.0)
     np.testing.assert_allclose(out3["PCK_TS1"], 100.0)
     np.testing.assert_allclose(out3["PCK"], 50.0)
+
+
+def test_agora_submission_writer(tmp_path):
+    import pickle
+
+    from romp_tpu.eval.protocols import (
+        AGORA_DEFAULT_K, agora_refine_translation, agora_save_predictions,
+    )
+
+    rng = np.random.RandomState(0)
+    # translation recovery: project known joints with a known translation
+    K = AGORA_DEFAULT_K
+    t_true = np.array([[0.4, -0.2, 6.0], [-1.0, 0.5, 9.0]], np.float32)
+    j3 = rng.randn(2, 24, 3).astype(np.float32) * 0.4
+    cam = j3 + t_true[:, None]
+    pj = cam[..., :2] / cam[..., 2:] * K[0, 0] + K[:2, 2]
+    rec = agora_refine_translation(j3, pj, np.zeros((2, 3)), K)
+    np.testing.assert_allclose(rec, t_true, atol=1e-2)
+
+    outputs = {
+        "smpl_thetas": rng.randn(2, 72).astype(np.float32),
+        "smpl_betas": rng.randn(2, 11).astype(np.float32),
+        "cam_trans": t_true,
+        "joints": np.concatenate([j3 + t_true[:, None],
+                                  np.zeros((2, 47, 3), np.float32)], 1),
+        "pj2d_org": np.concatenate([pj, np.zeros((2, 47, 2))], 1),
+    }
+    files = agora_save_predictions(outputs, "/x/agora_img_001.png",
+                                   str(tmp_path), cam_K=K)
+    assert len(files) == 2
+    assert files[0].endswith("agora_img_001_personId_0.pkl")
+    d = pickle.load(open(files[0], "rb"))
+    assert d["params"]["global_orient"].shape == (1, 1, 3)
+    assert d["params"]["body_pose"].shape == (1, 23, 3)
+    assert d["params"]["betas"].shape == (1, 11)
+    assert d["num_betas"] == 11 and d["kid_flag"]
+    assert d["joints"].shape == (24, 2)
+    np.testing.assert_allclose(d["joints"], (pj[0] + 1) * 3.0, atol=1e-4)
