@@ -89,7 +89,7 @@ def main():
     sc = SeqConfig(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
                    tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
     raft_params = init_raft_params(jax.random.PRNGKey(2))
-    flow_fn = make_trace_flow_fn(raft_params, iters=12)
+    flow_fn = make_trace_flow_fn(raft_params, iters=12)  # fast path; CLI default = 20 (reference parity)
     frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
     for name, ffn in (("trace_clip8", flow_fn),
                       ("trace_clip8_zeroflow", None)):

@@ -88,7 +88,8 @@ def run_trace(settings) -> int:
         import jax.numpy as jnp
 
         raft_params = {k: jnp.asarray(v) for k, v in raft_params.items()}
-        flow_fn = make_trace_flow_fn(raft_params)
+        flow_fn = make_trace_flow_fn(
+            raft_params, iters=getattr(settings, "raft_iters", 20))
     else:
         print("RAFT weights not found; running TRACE with zero optical flow",
               file=sys.stderr)
