@@ -162,17 +162,27 @@ def crowdpose_keypoint_eval(gt_doc: Dict, dt_list: List[Dict],
         dt_by_img.setdefault(det["image_id"], []).append(det)
 
     buckets = {"all": [], "easy": [], "medium": [], "hard": []}
-    for img_id, gts in gt_by_img.items():
+    # union of GT and DT image ids: detections on GT-less images must still
+    # pool as unmatched false positives (cocoeval evaluates all images)
+    all_img_ids = set(gt_by_img) | set(dt_by_img)
+    for img_id in all_img_ids:
+        gts = gt_by_img.get(img_id, [])
         J = len(sigmas)
-        gt_kps = np.stack([np.asarray(g["keypoints"], np.float64
-                                      ).reshape(J, 3) for g in gts])
-        gt_areas = np.asarray([
-            g.get("area") or g["bbox"][2] * g["bbox"][3] for g in gts],
-            np.float64)
-        gt_ignore = np.asarray(
-            [bool(g.get("iscrowd", 0)) or (g["keypoints"][2::3]
-                                           and max(g["keypoints"][2::3]) == 0)
-             for g in gts], bool)
+        if gts:
+            gt_kps = np.stack([np.asarray(g["keypoints"], np.float64
+                                          ).reshape(J, 3) for g in gts])
+            gt_areas = np.asarray([
+                g.get("area") or g["bbox"][2] * g["bbox"][3] for g in gts],
+                np.float64)
+            gt_ignore = np.asarray(
+                [bool(g.get("iscrowd", 0)) or (g["keypoints"][2::3]
+                                               and max(g["keypoints"][2::3])
+                                               == 0)
+                 for g in gts], bool)
+        else:
+            gt_kps = np.zeros((0, J, 3))
+            gt_areas = np.zeros(0)
+            gt_ignore = np.zeros(0, bool)
         dts = dt_by_img.get(img_id, [])
         if dts:
             dt_kps = np.stack([np.asarray(d["keypoints"], np.float64

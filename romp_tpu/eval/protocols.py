@@ -128,8 +128,9 @@ def pw3d_apply_camera(joints: np.ndarray, rotations: np.ndarray,
     """World -> camera for GT joints and per-joint global rotations
     (evaluate.py:213-233). cam_poses: (N, 4, 4) world-to-camera."""
     jh = np.concatenate([joints, np.ones_like(joints[..., :1])], -1)
-    # reference right-multiplies by the TRANSPOSED camera matrix (:223)
-    jc = np.einsum("nji,nkj->nki", cam_poses, jh)[..., :3]
+    # reference right-multiplies by the TRANSPOSED camera matrix (:223,:353),
+    # i.e. jh @ cam^T = R x + t per joint
+    jc = np.einsum("nij,nkj->nki", cam_poses, jh)[..., :3]
     rc = np.einsum("nij,nkjl->nkil", cam_poses[:, :3, :3], rotations)
     return jc, rc
 

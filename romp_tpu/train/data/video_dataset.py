@@ -167,13 +167,18 @@ class ClipDataset:
                 half = S / 2.0 / max(zoom, 1e-6)
                 cx = (ox + 1.0) / 2.0 * S
                 cy = (oy + 1.0) / 2.0 * S
-                # pad so any window is in range, then slice + resize back
-                pad = int(np.ceil(half)) + 1
+                # pad from the ACTUAL window extent (not just half) so the
+                # slice stays inside the canvas even for far-off-center
+                # windows (noisy pseudo-depth can push |ox|,|oy| past 1)
+                x0f = int(round(cx - half))
+                y0f = int(round(cy - half))
+                w = max(int(round(2 * half)), 2)
+                pad = max(1, -min(x0f, y0f, 0),
+                          max(x0f + w - S, y0f + w - S, 0)) + 1
                 padded = np.zeros((S + 2 * pad, S + 2 * pad, 3), img.dtype)
                 padded[pad:pad + S, pad:pad + S] = img
-                x0 = int(round(cx - half)) + pad
-                y0 = int(round(cy - half)) + pad
-                w = max(int(round(2 * half)), 2)
+                x0 = x0f + pad
+                y0 = y0f + pad
                 img = cv2.resize(padded[y0:y0 + w, x0:x0 + w], (S, S))
             frames.append(img.astype(np.float32))
         return np.stack(frames)
@@ -238,8 +243,10 @@ class ClipDataset:
                 s = complete[rng.randint(len(complete))]
                 tr = s["trans3d"][sl].astype(np.float32)
                 depth = np.clip(tr[:, 2], 0.3, 100.0)
-                ox = tr[:, 0] / depth / _FOV_HALF_TAN
-                oy = tr[:, 1] / depth / _FOV_HALF_TAN
+                # clamp: noisy pseudo-depth can put the projected center
+                # outside the frame; keep the window on-canvas
+                ox = np.clip(tr[:, 0] / depth / _FOV_HALF_TAN, -1.0, 1.0)
+                oy = np.clip(tr[:, 1] / depth / _FOV_HALF_TAN, -1.0, 1.0)
                 # fixed zoom from the subject's max apparent size x margin
                 app = 1.0 / (_FOV_HALF_TAN * depth)
                 margin = 1.6 + rng.rand() * 0.8

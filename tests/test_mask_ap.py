@@ -115,3 +115,29 @@ def test_crowdpose_protocol_end_to_end():
     np.testing.assert_allclose(out["AP_easy"], 1.0)        # perfect match
     assert out["AP_hard"] < 0.01                           # missed
     assert 0.0 < out["AP"] < 1.0
+
+
+def test_crowdpose_eval_counts_fps_on_gtless_images():
+    """Detections on images with NO GT annotations must pool as false
+    positives (ADVICE r2: previously silently dropped)."""
+    rng = np.random.RandomState(4)
+    kp = np.concatenate([rng.rand(14, 2) * 200, np.full((14, 1), 2.0)], -1)
+    gt_doc = {
+        "images": [{"id": 1, "crowdIndex": 0.05},
+                   {"id": 2, "crowdIndex": 0.05}],
+        "annotations": [
+            {"image_id": 1, "keypoints": kp.flatten().tolist(),
+             "bbox": [0, 0, 200, 200], "area": 40000},
+        ],
+    }
+    dt_clean = [
+        {"image_id": 1, "keypoints": kp.flatten().tolist(), "score": 0.9},
+    ]
+    # a HIGHER-scored stray detection on the GT-less image 2
+    dt_stray = dt_clean + [
+        {"image_id": 2, "keypoints": kp.flatten().tolist(), "score": 0.95},
+    ]
+    clean = crowdpose_keypoint_eval(gt_doc, dt_clean)
+    stray = crowdpose_keypoint_eval(gt_doc, dt_stray)
+    np.testing.assert_allclose(clean["AP"], 1.0)
+    assert stray["AP"] < clean["AP"]  # FP ahead of the TP depresses AP

@@ -411,3 +411,27 @@ def test_agora_submission_writer(tmp_path):
     assert d["num_betas"] == 11 and d["kid_flag"]
     assert d["joints"].shape == (24, 2)
     np.testing.assert_allclose(d["joints"], (pj[0] + 1) * 3.0, atol=1e-4)
+
+
+def test_pw3d_apply_camera_is_rigid_transform():
+    """pw3d_apply_camera must compute R @ x + t (world->camera), NOT the
+    transposed rotation with dropped translation (ADVICE r2, high). Checked
+    against a known rigid transform rather than round-tripping the helper."""
+    from romp_tpu.eval.protocols import pw3d_apply_camera
+
+    rng = np.random.RandomState(7)
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0],
+                  [0, 0, 1.0]])
+    t = np.array([0.3, -1.2, 4.0])
+    cam = np.tile(np.eye(4)[None], (2, 1, 1))
+    cam[:, :3, :3] = R
+    cam[:, :3, 3] = t
+    joints = rng.randn(2, 24, 3)
+    rots = np.tile(np.eye(3)[None, None], (2, 24, 1, 1))
+    jc, rc = pw3d_apply_camera(joints, rots, cam)
+    np.testing.assert_allclose(
+        jc, np.einsum("ij,nkj->nki", R, joints) + t, atol=1e-12)
+    np.testing.assert_allclose(rc, np.tile(R[None, None], (2, 24, 1, 1)),
+                               atol=1e-12)

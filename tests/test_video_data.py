@@ -272,3 +272,25 @@ def test_h36m_frame_extractor(tmp_path):
     w2 = extract_video(str(vid_dir / "Walking 1.54138969.mp4"),
                        str(out), every=10, max_frames=0)
     assert len(w2) == 2                       # frames 10 and 20
+
+
+def test_tracking_crop_window_out_of_bounds_safe(tmp_path):
+    """Far-off-center crop windows (|ox|,|oy| ~ 1, small zoom) must not
+    produce an empty slice / cv2.resize error (ADVICE r2)."""
+    import cv2
+
+    from romp_tpu.train.data.video_dataset import ClipDataset, VideoSequence
+
+    S = 64
+    paths = []
+    for t in range(4):
+        p = str(tmp_path / f"f{t}.png")
+        cv2.imwrite(p, np.full((S, S, 3), 128, np.uint8))
+        paths.append(p)
+    seq = VideoSequence(frame_paths=paths, subjects={}, is_static_cam=True)
+    ds = ClipDataset([seq], clip_length=4, input_size=S)
+    # corner window at extreme offset with zoom < 1 (window larger than frame)
+    crops = np.array([[1.5, -1.5, 0.5]] * 4, np.float32)
+    frames = ds._read_frames(seq, 0, crops)
+    assert frames.shape == (4, S, S, 3)
+    assert np.isfinite(frames).all()
