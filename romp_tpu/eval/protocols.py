@@ -792,3 +792,258 @@ def mupots_pck(seq_err: Sequence[Sequence[np.ndarray]],
         pcks.append(pck_seq)
         aucs.append(auc_seq)
     return curves, pcks, aucs
+
+
+# ------------------------------------------------------ CMU-Panoptic (BEV) --
+# Official sequence protocol (`simple_romp/evaluation/eval_cmu_panoptic.py:
+# 1-329`): haggling/mafia/ultimatum/pizza sequences, J14 joints, greedy 2D
+# matching with keypoint-bbox IoU gating, matched MPJPE with a 150 mm
+# punishment per missed GT person.
+
+CMU_ACTIONS = ("haggling", "mafia", "ultimatum", "pizza")
+# J24 annotation order -> H36M17 -> J14 (eval_cmu_panoptic.py:88-89)
+CMU_J24_TO_H36M = np.array([14, 3, 4, 5, 2, 1, 0, 16, 12, 17, 18, 9, 10,
+                            11, 8, 7, 6])
+CMU_H36M_TO_J14 = np.array([6, 5, 4, 1, 2, 3, 16, 15, 14, 11, 12, 13, 8, 0])
+# prediction H36M-17 joints -> J14 + root index (eval_cmu_panoptic.py:284-286)
+CMU_PRED_H36M17_TO_J14 = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                                   12, 14])
+CMU_PRED_ROOT = 14
+CMU_MISSING_PUNISH = 150.0
+
+
+def cmu_panoptic_convert_gts(img_infos: Sequence[Dict],
+                             image_scale: float = 1920.0 / 832.0
+                             ) -> Dict[str, list]:
+    """panoptic_annot records -> {img_name: [kp2d (N, 14, 2),
+    kp3d (N, 14, 3)]} (load_gts, eval_cmu_panoptic.py:71-105): J24->J14
+    remap, visibility gate (>5 in-frame joints), 2D rescale to 1920-wide
+    frames, 3D invisible joints = -2, +(0, .06, .03) offset on joints :13."""
+    annots = {}
+    for info in img_infos:
+        parts = info["filename"].split("/")
+        img_name = parts[1] + "-" + parts[-1].replace(".png", ".jpg") \
+            if len(parts) > 1 else parts[-1]
+        kp2ds = np.asarray(info["kpts2d"], np.float64)[
+            :, CMU_J24_TO_H36M][:, CMU_H36M_TO_J14]
+        w, h = info["width"], info["height"]
+        vis_ids, kp2d_vis = [], []
+        for pid, kp2d in enumerate(kp2ds):
+            m = ((kp2d[:, 0] > 0) & (kp2d[:, 0] < w)
+                 & (kp2d[:, 1] > 0) & (kp2d[:, 1] < h) & (kp2d[:, 2] > 0.2))
+            if m.sum() > 5:
+                vis_ids.append(pid)
+                kp2d_vis.append(np.concatenate([kp2d[:, :2], m[:, None]], 1))
+        if not vis_ids:
+            continue
+        kp3ds = np.asarray(info["kpts3d"], np.float64)[
+            :, CMU_J24_TO_H36M][:, CMU_H36M_TO_J14][np.asarray(vis_ids)]
+        N = len(kp3ds)
+        full_kp2d = np.zeros((N, 14, 2))
+        kp_3ds = np.zeros((N, 14, 3))
+        for i, (kp2d, kp3d) in enumerate(zip(kp2d_vis, kp3ds)):
+            full_kp2d[i] = kp2d[:, :2] * image_scale
+            invis = kp3d[:, -1] < 0.2
+            k3 = kp3d[:, :3].copy()
+            k3[invis] = -2.0
+            k3[:13] += np.array([0.0, 0.06, 0.03])
+            kp_3ds[i] = k3
+        annots[img_name] = [full_kp2d, kp_3ds]
+    return annots
+
+
+def cmu_panoptic_evaluate(annots: Dict[str, list],
+                          results: Dict[str, list],
+                          missing_punish: float = CMU_MISSING_PUNISH
+                          ) -> Dict[str, float]:
+    """Score predictions against converted GT (evaluation_results,
+    eval_cmu_panoptic.py:279-325).
+
+    annots: {img_name: [kp2d_gt (N, 14, 2), kp3d_gt (N, 14, 3)]} — GT root
+    is J14 index 13, invalid = -2.
+    results: {img_name: [pj2d (P, 17, 2), j3d (P, 17, 3)]} in the H36M-17
+    joint order (the extra-17 block of the 54+17 regression).
+    Returns per-action MPJPE (mm) + overall 'MPJPE'.
+    """
+    cacher = {a: [] for a in CMU_ACTIONS}
+    for img_name, (kp2d_gts, kp3d_gts) in annots.items():
+        kp2d_gts = np.asarray(kp2d_gts, np.float64)
+        kp3d_gts = np.asarray(kp3d_gts, np.float64)
+        root_gts = kp3d_gts[:, [13]]
+        visible = kp3d_gts[:, :, 0] > -2.0
+        valid_mask = kp2d_gts[:, :, 0] > -2.0
+        valid_ids = valid_mask.sum(-1) != 0
+        kp2d_gts = kp2d_gts[valid_ids]
+        kp3d_gts = kp3d_gts[valid_ids] - root_gts[valid_ids]
+        valid_mask, visible = valid_mask[valid_ids], visible[valid_ids]
+
+        if img_name in results:
+            pj2d, j3d = results[img_name]
+            pj2d = np.asarray(pj2d, np.float64)[:, CMU_PRED_H36M17_TO_J14]
+            j3d = np.asarray(j3d, np.float64)
+            j3d = j3d[:, CMU_PRED_H36M17_TO_J14] - j3d[:, [CMU_PRED_ROOT]]
+            best, fps, misses = match_2d_greedy(pj2d, kp2d_gts, valid_mask)
+            if len(best):
+                pids, gids = best[:, 0], best[:, 1]
+                mm = (np.sqrt(((j3d[pids] - kp3d_gts[gids]) ** 2).sum(-1))
+                      * visible[gids]) * 1000.0
+                mpjpes = np.concatenate(
+                    [mm.mean(-1), np.full(len(misses), missing_punish)])
+            else:
+                mpjpes = np.full(len(kp3d_gts), missing_punish)
+        else:
+            mpjpes = np.full(len(kp3d_gts), missing_punish)
+        for v in mpjpes:
+            for a in CMU_ACTIONS:
+                if a in osp.basename(img_name):
+                    cacher[a].append(float(v))
+
+    out = {}
+    all_vals = []
+    for a, vals in cacher.items():
+        if vals:
+            out[f"MPJPE_{a}"] = float(np.mean(vals))
+            all_vals += vals
+    out["MPJPE"] = float(np.mean(all_vals)) if all_vals else float("nan")
+    return out
+
+
+# --------------------------------------------------------- DynaCam (TRACE) --
+# Official world-trajectory protocol
+# (`trace2/evaluation/eval_dynacam.py:10-62` +
+# `dynacam_evaluation/evalute_ate.py`): per sequence, align predicted and GT
+# world trajectories to the first frame, Umeyama-align (with scale, as evo
+# main_ape with align/correct_scale), then ATE = RMSE of translation (m) and
+# APE = RMSE of the full-transformation residual ||inv(Q_i) P_i - I||_F.
+
+def _aa_to_quat_wxyz(aa: np.ndarray) -> np.ndarray:
+    """axis-angle (3,) -> quaternion (w, x, y, z)."""
+    aa = np.asarray(aa, np.float64)
+    angle = np.linalg.norm(aa)
+    if angle < 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    axis = aa / angle
+    return np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * axis])
+
+
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
+    """Similarity transform (s, R, t) minimizing ||dst - (s R src + t)||."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    H = (dst - mu_d).T @ (src - mu_s) / len(src)
+    U, S, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.diag([1.0, 1.0, d])
+    R = U @ D @ Vt
+    var_s = ((src - mu_s) ** 2).sum() / len(src)
+    s = float((S * np.diag(D)).sum() / var_s) if with_scale and var_s > 0 \
+        else 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def evaluate_ate_ape(traj_est: np.ndarray, traj_ref: np.ndarray,
+                     align: bool = True) -> Tuple[float, float]:
+    """traj_*: (T, 7) = [x, y, z, qw, qx, qy, qz]. Returns (ATE, APE) as in
+    evalute_ate.py:55-80 (evo main_ape translation_part /
+    full_transformation, rmse stat)."""
+    pe = np.asarray(traj_est, np.float64)
+    pr = np.asarray(traj_ref, np.float64)
+    pos_e, pos_r = pe[:, :3].copy(), pr[:, :3]
+    R_e = np.stack([_quat_to_mat(q) for q in pe[:, 3:]])
+    R_r = np.stack([_quat_to_mat(q) for q in pr[:, 3:]])
+    if align and len(pe) >= 3:
+        s, R, t = _umeyama(pos_e, pos_r, with_scale=True)
+        pos_e = (s * (R @ pos_e.T)).T + t
+        R_e = np.einsum("ij,njk->nik", R, R_e)
+    ate_score = float(np.sqrt(((pos_e - pos_r) ** 2).sum(-1).mean()))
+    # full-transformation APE: ||inv(Q) P - I||_F per frame
+    apes = []
+    for i in range(len(pe)):
+        E = np.eye(4)
+        E[:3, :3] = R_r[i].T @ R_e[i]
+        E[:3, 3] = R_r[i].T @ (pos_e[i] - pos_r[i])
+        apes.append(np.linalg.norm(E - np.eye(4)))
+    ape_score = float(np.sqrt(np.mean(np.square(apes))))
+    return ate_score, ape_score
+
+
+def _search_valid_frame(frame2ind: Dict[int, int], fid: int) -> int:
+    """Nearest frame id present in the prediction index
+    (dynacam_evaluation/utils.py search_valid_frame)."""
+    keys = np.asarray(sorted(frame2ind))
+    return int(keys[np.argmin(np.abs(keys - fid))])
+
+
+def dynacam_evaluate(annots: Dict[str, Dict[str, np.ndarray]],
+                     preds: Dict[str, Optional[list]],
+                     missing_punish: Tuple[float, float] = (2.0, 4.0),
+                     align: bool = True) -> Dict[str, Dict[str, float]]:
+    """Official DynaCam single-person scoring (eval_single,
+    eval_dynacam.py:10-62).
+
+    annots: {seq: {frame_ids (F,), world_grots (1, F, 3) axis-angle,
+                   world_trans (1, F, 3), camera_extrinsics (F, 4, 4)}}.
+    preds: {seq: [frame2ind {fid: row}, pj2d, world_trans (R, 3),
+                  world_grots (R, 3)]} or None (missing -> punished).
+    frame_ids index rows of the sequence's frame list directly (the
+    reference re-derives them from the panorama frame filenames).
+    Returns {"ate": {seq: m, "mean": m}, "ape": {...}}.
+    """
+    errors = {"ate": {}, "ape": {}}
+    for seq, ann in annots.items():
+        pred = preds.get(seq)
+        if pred is None:
+            errors["ate"][seq] = missing_punish[0]
+            errors["ape"][seq] = missing_punish[1]
+            continue
+        frame2ind, _, trans_pred_all, grot_pred_all = pred
+        frame_ids = np.asarray(ann["frame_ids"], int)
+        ext = np.asarray(ann["camera_extrinsics"])[0]
+        gtr, grt, ptr, prt = [], [], [], []
+        for gid, fid in enumerate(frame_ids):
+            grot_gt = np.asarray(ann["world_grots"])[0, gid]
+            gtr.append(np.asarray(ann["world_trans"])[0, gid])
+            grt.append(grot_gt)
+            if int(fid) not in frame2ind:
+                fid = _search_valid_frame(frame2ind, int(fid))
+            rid = frame2ind[int(fid)]
+            ptr.append(np.asarray(trans_pred_all)[rid])
+            prt.append(np.asarray(grot_pred_all)[rid])
+        gtr = np.asarray(gtr, np.float64)
+        ptr = np.asarray(ptr, np.float64)
+        # GT into the first-frame camera coordinates (eval_dynacam.py:44-47)
+        R0 = ext[:3, :3]
+        gtr = (R0 @ gtr.T).T
+        grt_q = []
+        for aa in grt:
+            Rg = R0 @ _quat_to_mat(_aa_to_quat_wxyz(aa))
+            # mat -> quat via axis-angle of the matrix
+            w = np.clip((np.trace(Rg) - 1) / 2, -1, 1)
+            ang = np.arccos(w)
+            if ang < 1e-9:
+                grt_q.append(np.array([1.0, 0, 0, 0]))
+            else:
+                ax = np.array([Rg[2, 1] - Rg[1, 2], Rg[0, 2] - Rg[2, 0],
+                               Rg[1, 0] - Rg[0, 1]]) / (2 * np.sin(ang))
+                grt_q.append(_aa_to_quat_wxyz(ax * ang))
+        gtr = gtr - gtr[[0]]
+        ptr = ptr - ptr[[0]]
+        prt_q = [_aa_to_quat_wxyz(aa) for aa in prt]
+        traj_est = np.concatenate([ptr, np.asarray(prt_q)], 1)
+        traj_ref = np.concatenate([gtr, np.asarray(grt_q)], 1)
+        a, p = evaluate_ate_ape(traj_est, traj_ref, align=align)
+        errors["ate"][seq] = a
+        errors["ape"][seq] = p
+    for key in ("ate", "ape"):
+        vals = list(errors[key].values())
+        errors[key]["mean"] = float(np.mean(vals)) if vals else float("nan")
+    return errors

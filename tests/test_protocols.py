@@ -435,3 +435,156 @@ def test_pw3d_apply_camera_is_rigid_transform():
         jc, np.einsum("ij,nkj->nki", R, joints) + t, atol=1e-12)
     np.testing.assert_allclose(rc, np.tile(R[None, None], (2, 24, 1, 1)),
                                atol=1e-12)
+
+
+# ------------------------------------------------------------ CMU-Panoptic --
+
+def _make_cmu_fixture(seed=0, n_imgs=3, n_person=2):
+    rng = np.random.RandomState(seed)
+    infos = []
+    for i in range(n_imgs):
+        kpts2d = np.zeros((n_person, 24, 3))
+        kpts2d[..., :2] = rng.rand(n_person, 24, 2) * 700 + 50
+        kpts2d[..., 2] = 1.0
+        kpts3d = np.zeros((n_person, 24, 4))
+        kpts3d[..., :3] = rng.randn(n_person, 24, 3) * 0.3
+        kpts3d[..., 3] = 1.0
+        infos.append({
+            "filename": f"hdImgs/haggling_cam00-{i:08d}.png",
+            "width": 832, "height": 512,
+            "kpts2d": kpts2d, "kpts3d": kpts3d,
+        })
+    return infos
+
+
+def _cmu_preds_from_annots(annots, jitter=0.0, seed=1):
+    """Exact (or jittered) predictions in the H36M-17 layout the driver
+    consumes."""
+    from romp_tpu.eval.protocols import (
+        CMU_PRED_H36M17_TO_J14, CMU_PRED_ROOT,
+    )
+
+    rng = np.random.RandomState(seed)
+    results = {}
+    for name, (kp2d, kp3d) in annots.items():
+        N = len(kp2d)
+        pj2d = np.zeros((N, 17, 2))
+        j3d = np.zeros((N, 17, 3))
+        pj2d[:, CMU_PRED_H36M17_TO_J14] = kp2d
+        # driver subtracts pred joint 14; GT is already root(13)-subtracted
+        j3d[:, CMU_PRED_H36M17_TO_J14] = kp3d - kp3d[:, [13]]
+        j3d[:, CMU_PRED_ROOT] = 0.0
+        if jitter:
+            j3d = j3d + rng.randn(*j3d.shape) * jitter
+        results[name] = [pj2d, j3d]
+    return results
+
+
+def test_cmu_panoptic_protocol_roundtrip():
+    from romp_tpu.eval.protocols import (
+        cmu_panoptic_convert_gts, cmu_panoptic_evaluate,
+    )
+
+    infos = _make_cmu_fixture()
+    annots = cmu_panoptic_convert_gts(infos)
+    assert len(annots) == 3
+    name0 = next(iter(annots))
+    assert "haggling" in name0
+    kp2d, kp3d = annots[name0]
+    assert kp2d.shape[1:] == (14, 2) and kp3d.shape[1:] == (14, 3)
+
+    # GT root subtraction happens inside evaluate; feed exact preds
+    exact = cmu_panoptic_evaluate(annots, _cmu_preds_from_annots(annots))
+    assert exact["MPJPE"] < 1.5  # mm; the (0,.06,.03) offset is in both
+    assert "MPJPE_haggling" in exact
+
+    jit = cmu_panoptic_evaluate(
+        annots, _cmu_preds_from_annots(annots, jitter=0.05))
+    assert jit["MPJPE"] > exact["MPJPE"]
+
+    # missing image -> 150 mm punishment per GT person
+    missing = cmu_panoptic_evaluate(annots, {})
+    np.testing.assert_allclose(missing["MPJPE"], 150.0)
+
+
+def test_cmu_convert_visibility_gate():
+    """Persons with <=5 in-frame joints are dropped (reference
+    determine_visible_person)."""
+    from romp_tpu.eval.protocols import cmu_panoptic_convert_gts
+
+    infos = _make_cmu_fixture(n_imgs=1, n_person=2)
+    # push person 1's 2D joints out of frame
+    infos[0]["kpts2d"][1, :, 0] = -50.0
+    annots = cmu_panoptic_convert_gts(infos)
+    kp2d, kp3d = next(iter(annots.values()))
+    assert len(kp2d) == 1
+
+
+# ----------------------------------------------------------------- DynaCam --
+
+def _rot_z(th):
+    return np.array([[np.cos(th), -np.sin(th), 0],
+                     [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+
+
+def test_evaluate_ate_ape_alignment_invariance():
+    from romp_tpu.eval.protocols import _aa_to_quat_wxyz, evaluate_ate_ape
+
+    rng = np.random.RandomState(0)
+    T = 12
+    pos = np.cumsum(rng.randn(T, 3) * 0.1, axis=0)
+    quat = np.stack([_aa_to_quat_wxyz(np.array([0.0, 0.0, 0.1 * t]))
+                     for t in range(T)])
+    ref = np.concatenate([pos, quat], 1)
+    # est = similarity-transformed ref -> alignment nulls it
+    R = _rot_z(0.8)
+    pos_e = 1.7 * (R @ pos.T).T + np.array([2.0, -1.0, 0.5])
+    quat_e = []
+    for q in quat:
+        from romp_tpu.eval.protocols import _quat_to_mat
+        Rq = R @ _quat_to_mat(q)
+        w = np.clip((np.trace(Rq) - 1) / 2, -1, 1)
+        ang = np.arccos(w)
+        ax = np.array([Rq[2, 1] - Rq[1, 2], Rq[0, 2] - Rq[2, 0],
+                       Rq[1, 0] - Rq[0, 1]]) / (2 * np.sin(ang))
+        quat_e.append(_aa_to_quat_wxyz(ax * ang))
+    est = np.concatenate([pos_e, np.stack(quat_e)], 1)
+    ate_s, ape_s = evaluate_ate_ape(est, ref, align=True)
+    assert ate_s < 1e-6
+    assert ape_s < 1e-6
+    # unaligned is large
+    ate_u, _ = evaluate_ate_ape(est, ref, align=False)
+    assert ate_u > 0.5
+
+
+def test_dynacam_protocol_roundtrip():
+    from romp_tpu.eval.protocols import dynacam_evaluate
+
+    rng = np.random.RandomState(3)
+    F = 10
+    trans = np.cumsum(rng.randn(F, 3) * 0.2, axis=0)
+    grots = np.stack([[0.0, 0.0, 0.05 * t] for t in range(F)])
+    ext = np.tile(np.eye(4)[None], (F, 1, 1))
+    annots = {"seq_a": {
+        "frame_ids": np.arange(F),
+        "world_trans": trans[None],
+        "world_grots": grots[None],
+        "camera_extrinsics": ext,
+    }}
+    frame2ind = {i: i for i in range(F)}
+    preds = {"seq_a": [frame2ind, None, trans.copy(), grots.copy()]}
+    out = dynacam_evaluate(annots, preds)
+    assert out["ate"]["seq_a"] < 1e-6
+    assert out["ape"]["seq_a"] < 1e-6
+
+    # missing sequence -> punishment
+    out2 = dynacam_evaluate(annots, {"seq_a": None})
+    assert out2["ate"]["seq_a"] == 2.0 and out2["ape"]["seq_a"] == 4.0
+
+    # frame2ind gap -> nearest-frame fallback used, still finite
+    sparse = {i: i for i in range(0, F, 2)}
+    idx = np.arange(0, F, 2)
+    preds3 = {"seq_a": [
+        {i: k for k, i in enumerate(idx)}, None, trans[idx], grots[idx]]}
+    out3 = dynacam_evaluate(annots, preds3)
+    assert np.isfinite(out3["ate"]["seq_a"])
