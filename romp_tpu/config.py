@@ -59,11 +59,13 @@ class DataConfig:
 @dataclasses.dataclass
 class TrainConfigFull:
     lr: float = 3e-4
+    lr_milestones: Tuple[int, ...] = ()  # MultiStepLR boundaries in STEPS
+    lr_decay: float = 0.1                # --adjust_lr_factor default
     weight_decay: float = 1e-6
     grad_clip: float = 3.0
     batch_size: int = 64
     epochs: int = 120
-    warmup_steps: int = 1000
+    warmup_steps: int = 0                # linear warmup; 0 = off
     compute_dtype: str = "bfloat16"
     act_dtype: str = "float32"           # bfloat16 = low-memory fast path
     remat: str = "stage"                 # stage | net | none
@@ -75,6 +77,28 @@ class TrainConfigFull:
     tensorboard: bool = True             # event files under ckpt_dir/tb
     fine_tune: bool = False
     resume: Optional[str] = None
+
+
+@dataclasses.dataclass
+class TraceSectionConfig:
+    """TRACE video-training knobs (`trace/configs/trace.yml` ARGS)."""
+
+    clip_length: int = 8                 # temp_clip_length (ref: 10)
+    max_tracks: int = 8                  # max supervised subjects per clip
+    dynamic_aug_prob: float = 0.8        # dynamic_augment_ratio
+    tracking_aug_prob: float = 0.6       # dynamic_aug_tracking_ratio
+    changing_ratio: float = 0.2          # dynamic_changing_ratio
+    use_optical_flow: bool = False       # RAFT flow during training
+    raft_model_path: Optional[str] = None
+    backbone_ckpt: Optional[str] = None  # frozen image-backbone weights
+    # loss weights (TraceTrainConfig fields; ref trace.yml loss_weight)
+    centermap3d_weight: float = 1.0
+    motion_weight: float = 40.0
+    pose_weight: float = 80.0
+    shape_weight: float = 6.0
+    world_trans_weight: float = 50.0
+    world_grot_weight: float = 40.0
+    temp_shape_weight: float = 10.0
 
 
 @dataclasses.dataclass
@@ -90,6 +114,8 @@ class Config:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfigFull = dataclasses.field(
         default_factory=TrainConfigFull)
+    trace: TraceSectionConfig = dataclasses.field(
+        default_factory=TraceSectionConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     tab: str = "romp_tpu"
     smpl_assets: Optional[str] = None
@@ -99,6 +125,7 @@ class Config:
 # (`romp/lib/config.py` flag names).
 _REF_KEY_MAP = {
     "lr": "train.lr",
+    "adjust_lr_factor": "train.lr_decay",
     "batch_size": "train.batch_size",
     "epoch": "train.epochs",
     "fine_tune": "train.fine_tune",
@@ -108,6 +135,25 @@ _REF_KEY_MAP = {
     "backbone": "model.backbone",
     "max_person": "model.max_person",
     "tab": "tab",
+    "model_version": "model.version",
+    # TRACE video-training flags (`trace/configs/trace.yml` ARGS names)
+    "temp_clip_length": "trace.clip_length",
+    "dynamic_augment_ratio": "trace.dynamic_aug_prob",
+    "dynamic_aug_tracking_ratio": "trace.tracking_aug_prob",
+    "dynamic_changing_ratio": "trace.changing_ratio",
+    "use_optical_flow": "trace.use_optical_flow",
+    "max_supervise_num": "trace.max_tracks",
+}
+
+# reference trace.yml loss_weight names -> trace.<name>_weight fields
+_TRACE_LOSS_MAP = {
+    "CenterMap_3D": "centermap3d",
+    "motion_offsets3D": "motion",
+    "Pose": "pose",
+    "Shape": "shape",
+    "world_trans": "world_trans",
+    "world_grots": "world_grot",
+    "temp_shape_consist": "temp_shape",
 }
 
 
@@ -122,6 +168,17 @@ def _set_dotted(cfg: Config, dotted: str, value) -> bool:
     if not hasattr(obj, leaf):
         return False
     cur = getattr(obj, leaf)
+    if cur is None and isinstance(value, str):
+        # Optional[...] fields give no type to coerce to; YAML-parse the
+        # override so "2" -> 2, "true" -> True, paths stay strings
+        import yaml
+
+        try:
+            value = yaml.safe_load(value)
+        except Exception:
+            pass
+        setattr(obj, leaf, value)
+        return True
     if isinstance(cur, bool):
         value = value in (True, "True", "true", "1", 1)
     elif isinstance(cur, int) and not isinstance(value, bool):
@@ -130,6 +187,24 @@ def _set_dotted(cfg: Config, dotted: str, value) -> bool:
         value = float(value)
     elif isinstance(cur, tuple) and isinstance(value, (list, tuple)):
         value = tuple(value)
+    elif isinstance(cur, tuple) and isinstance(value, str):
+        # CLI override form: data.datasets=h36m,coco / train.lr_milestones=1,2
+        items = tuple(v.strip() for v in value.split(",") if v.strip())
+        elem = cur[0] if cur else None
+        if isinstance(elem, bool):
+            items = tuple(v in ("True", "true", "1") for v in items)
+        elif isinstance(elem, int):
+            items = tuple(int(float(v)) for v in items)
+        elif isinstance(elem, float):
+            items = tuple(float(v) for v in items)
+        elif elem is None:
+            # empty default (e.g. lr_milestones=()): numbers if they parse
+            try:
+                items = tuple(int(float(v)) if float(v) == int(float(v))
+                              else float(v) for v in items)
+            except ValueError:
+                pass
+        value = items
     setattr(obj, leaf, value)
     return True
 
@@ -149,13 +224,14 @@ def load_config(yaml_path: Optional[str] = None,
                 _set_dotted(cfg, f"train.{key}", val) or \
                     _set_dotted(cfg, f"model.{key}", val)
         for name, w in (doc.get("loss_weight") or {}).items():
-            _set_dotted(cfg, f"loss.{name}_weight", w)
+            _set_dotted(cfg, f"loss.{name}_weight", w) or _set_dotted(
+                cfg, f"trace.{_TRACE_LOSS_MAP.get(name, name)}_weight", w)
         sp = doc.get("sample_prob") or {}
         if sp:
             cfg.data.datasets = tuple(sp.keys())
             cfg.data.sample_probs = tuple(float(v) for v in sp.values())
         # native nested sections
-        for section in ("model", "loss", "data", "train", "mesh"):
+        for section in ("model", "loss", "data", "train", "trace", "mesh"):
             for key, val in (doc.get(section) or {}).items():
                 _set_dotted(cfg, f"{section}.{key}", val)
     for ov in overrides:

@@ -25,7 +25,7 @@ def make_mesh(n_devices: Optional[int] = None,
     with a 2D device count split for hybrid layouts."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
-        devs = devs[:n_devices]
+        devs = devs[:int(n_devices)]
     if len(axis_names) == 1:
         arr = np.asarray(devs)
     else:

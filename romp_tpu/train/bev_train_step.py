@@ -40,6 +40,7 @@ class BevTrainConfig(NamedTuple):
     rdepth_weight: float = 10.0
     rage_weight: float = 2.0
     input_size: int = 512
+    backbone: str = "hrnet32"
 
 
 def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
@@ -60,7 +61,8 @@ def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
     anchors = jnp.asarray(anchors_np)
     coord3d = jnp.asarray(
         coord_maps_3d_halfz(cfg.input_size // 4, anchors_np))
-    maps = bev_forward_maps(store, batch["image"], anchors, coord3d)
+    maps = bev_forward_maps(store, batch["image"], anchors, coord3d,
+                            backbone=cfg.backbone)
     B, P = batch["person_mask"].shape
     S = maps.center_maps_fv.shape[1]
 
@@ -141,10 +143,14 @@ class BevTrainState(NamedTuple):
 
 
 def bev_make_optimizer(cfg: BevTrainConfig):
+    from romp_tpu.train.train_step import make_lr_schedule
+
+    lr = make_lr_schedule(cfg.base.lr, cfg.base.lr_milestones,
+                          cfg.base.lr_decay, cfg.base.warmup_steps)
     return optax.apply_if_finite(
         optax.chain(
             optax.clip_by_global_norm(cfg.base.grad_clip),
-            optax.adamw(cfg.base.lr, weight_decay=cfg.base.weight_decay)),
+            optax.adamw(lr, weight_decay=cfg.base.weight_decay)),
         max_consecutive_errors=10000)
 
 

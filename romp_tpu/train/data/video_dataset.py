@@ -141,6 +141,8 @@ class ClipDataset:
         self.clip_length = clip_length
         self.max_tracks = max_tracks
         self.input_size = input_size
+        # centermap resolution the czyx bins address (OUTMAP=input/4)
+        self.map_size = input_size // 4
         self.dynamic_aug_prob = dynamic_aug_prob
         self.tracking_aug_prob = tracking_aug_prob
         self.changing_ratio = changing_ratio
@@ -219,7 +221,8 @@ class ClipDataset:
 
                 trans3d = retarget_camera_space(
                     trans3d, crops[:, 0], crops[:, 1], crops[:, 2])
-                czyx = trans3d_to_czyx(trans3d, trace_cam_anchor())
+                czyx = trans3d_to_czyx(trans3d, trace_cam_anchor(),
+                                       map_size=self.map_size)
             out["traj_czyx"][i] = czyx
             out["traj3d_gt"][i] = trans3d
             out["world_trans_gt"][i] = s.get("world_trans", s["trans3d"])[sl]
@@ -278,8 +281,11 @@ def clip_batch_iterator(ds: ClipDataset, feature_fn, flow_fn=None,
                 prev = jnp.concatenate([fr[:1], fr[:-1]], axis=0)
                 flows.append(np.asarray(flow_fn(prev, fr)))
             else:
+                # zero flow sized to the FEATURE map (not hardcoded 128, so
+                # small-input smoke configs work)
+                fs = np.asarray(f).shape[1]
                 flows.append(np.zeros(
-                    (c["frames"].shape[0], 128, 128, 2), np.float32))
+                    (c["frames"].shape[0], fs, fs, 2), np.float32))
         batch = {k: np.stack([c[k] for c in clips])
                  for k in clips[0] if k != "frames"}
         batch["feature_maps"] = np.stack(feats)
@@ -565,3 +571,45 @@ def from_internet_video(frame_dir: str, exts=("jpg", "jpeg", "png")
     if not paths:
         return []
     return [VideoSequence(paths, {}, is_static_cam=True)]
+
+
+# ------------------------------------------------------------ pack persist --
+# Video annotation packs: converter output (List[VideoSequence]) serialized
+# to one flat npz so the training launcher can consume
+# <data_root>/<name>.npz like the image packs (`dataset.py save_pack`).
+
+def save_video_pack(path: str, sequences: Sequence[VideoSequence]) -> None:
+    flat: Dict[str, np.ndarray] = {"n_sequences": np.asarray(len(sequences))}
+    for i, seq in enumerate(sequences):
+        p = f"seq{i}"
+        flat[f"{p}::frame_paths"] = np.asarray(seq.frame_paths, dtype=object)
+        flat[f"{p}::is_static_cam"] = np.asarray(seq.is_static_cam)
+        if seq.cam_intrinsics is not None:
+            flat[f"{p}::cam_intrinsics"] = np.asarray(seq.cam_intrinsics)
+        flat[f"{p}::subject_ids"] = np.asarray(
+            sorted(seq.subjects), np.int64)
+        for sid in sorted(seq.subjects):
+            for field, arr in seq.subjects[sid].items():
+                flat[f"{p}::s{sid}::{field}"] = np.asarray(arr)
+    np.savez_compressed(path, **flat)
+
+
+def load_video_pack(path: str) -> List[VideoSequence]:
+    data = np.load(path, allow_pickle=True)
+    n = int(data["n_sequences"])
+    out: List[VideoSequence] = []
+    for i in range(n):
+        p = f"seq{i}"
+        subjects: Dict[int, Dict[str, np.ndarray]] = {}
+        for sid in data[f"{p}::subject_ids"]:
+            sid = int(sid)
+            pre = f"{p}::s{sid}::"
+            subjects[sid] = {k[len(pre):]: data[k] for k in data.files
+                             if k.startswith(pre)}
+        cam_key = f"{p}::cam_intrinsics"
+        out.append(VideoSequence(
+            frame_paths=[str(s) for s in data[f"{p}::frame_paths"]],
+            subjects=subjects,
+            cam_intrinsics=data[cam_key] if cam_key in data.files else None,
+            is_static_cam=bool(data[f"{p}::is_static_cam"])))
+    return out

@@ -38,6 +38,14 @@ class TrainConfig:
     """Loss weights follow `romp/lib/config.py` defaults / configs/v1.yml."""
 
     lr: float = 3e-4
+    # MultiStepLR decay (`romp/base.py:70`: milestones=[60,80] EPOCHS,
+    # gamma=adjust_lr_factor) — expressed here in STEPS (the trainer loop is
+    # step-based); () disables. lr_decay mirrors --adjust_lr_factor
+    # (`romp/lib/config.py:86`, default 0.1).
+    lr_milestones: Tuple[int, ...] = ()
+    lr_decay: float = 0.1
+    warmup_steps: int = 0              # linear warmup from 0 (TPU-friendly
+    # replacement for the reference's fixed initial lr; 0 = off)
     weight_decay: float = 1e-6
     grad_clip: float = 3.0
     centermap_weight: float = 1.0
@@ -78,14 +86,40 @@ def split_params(params: Dict[str, jax.Array]):
     return trainable, bn_state
 
 
+def make_lr_schedule(lr: float, milestones: Tuple[int, ...] = (),
+                     decay: float = 0.1, warmup_steps: int = 0):
+    """MultiStepLR(milestones, gamma) + optional linear warmup, as an optax
+    schedule (`romp/base.py:70`). Returns a plain float when both are off so
+    the optimizer stays schedule-free."""
+    if not milestones and not warmup_steps:
+        return lr
+    ms = jnp.asarray(milestones, jnp.int32) if milestones else None
+
+    def schedule(count):
+        count = jnp.asarray(count)
+        scale = jnp.asarray(lr, jnp.float32)
+        if ms is not None:
+            scale = scale * jnp.power(
+                jnp.asarray(decay, jnp.float32),
+                jnp.sum(count >= ms).astype(jnp.float32))
+        if warmup_steps:
+            scale = scale * jnp.minimum(
+                1.0, (count + 1).astype(jnp.float32) / warmup_steps)
+        return scale
+
+    return schedule
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # apply_if_finite = the reference's NaN-loss step skip
     # (`romp/train.py:45-46`), done on-device: a step with non-finite
     # gradients leaves params untouched instead of poisoning them.
+    lr = make_lr_schedule(cfg.lr, cfg.lr_milestones, cfg.lr_decay,
+                          cfg.warmup_steps)
     return optax.apply_if_finite(
         optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+            optax.adamw(lr, weight_decay=cfg.weight_decay),
         ),
         max_consecutive_errors=10000,
     )

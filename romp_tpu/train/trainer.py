@@ -71,7 +71,11 @@ class Trainer:
         self.mesh = make_mesh(cfg.mesh.n_devices, (cfg.mesh.data_axis,))
 
         self.tcfg = TrainConfig(
-            lr=cfg.train.lr, weight_decay=cfg.train.weight_decay,
+            lr=cfg.train.lr,
+            lr_milestones=tuple(cfg.train.lr_milestones),
+            lr_decay=cfg.train.lr_decay,
+            warmup_steps=cfg.train.warmup_steps,
+            weight_decay=cfg.train.weight_decay,
             grad_clip=cfg.train.grad_clip,
             centermap_weight=cfg.loss.centermap_weight,
             kp2d_weight=cfg.loss.kp2d_weight,
