@@ -86,11 +86,20 @@ class BevMaps(NamedTuple):
 
 
 def bev_forward_maps(store: ParamStore, image: jax.Array,
-                     anchors: jax.Array, coord3d: jax.Array) -> BevMaps:
+                     anchors: jax.Array, coord3d: jax.Array,
+                     backbone: str = "hrnet32") -> BevMaps:
     """Backbone + coarse-to-fine 3D localization maps
     (`bev/model.py:199-215` coarse2fine_localization)."""
     x = (image / 255.0) * 2.0 - 1.0
-    feat = hrnet_w32(store, x, prefix="backbone")   # (B, 128, 128, 32)
+    if backbone == "hrnet32_tiny":
+        from romp_tpu.models.hrnet import hrnet_w32_tiny_segments
+
+        xs = [x]
+        for seg in hrnet_w32_tiny_segments("backbone"):
+            xs = seg(store, xs)
+        feat = xs[0]
+    else:
+        feat = hrnet_w32(store, x, prefix="backbone")  # (B, 128, 128, 32)
     B, H, W, _ = feat.shape
 
     maps_fv = _head_block(store, "det_head", feat, 4)
@@ -171,14 +180,15 @@ def bev_regress_params(store: ParamStore, maps: BevMaps,
     return jnp.concatenate([cams, h], axis=-1)                   # (B, K, 146)
 
 
-def init_bev_params(rng: jax.Array, input_size: int = 512):
+def init_bev_params(rng: jax.Array, input_size: int = 512,
+                    backbone: str = "hrnet32"):
     store = ParamStore(rng=rng)
     anchors = jnp.asarray(cam3dmap_anchor())
     size = input_size // 4
     coord3d = jnp.asarray(coord_maps_3d_halfz(size, np.asarray(anchors)))
     maps = bev_forward_maps(
         store, jnp.zeros((1, input_size, input_size, 3), jnp.float32),
-        anchors, coord3d)
+        anchors, coord3d, backbone=backbone)
     det = parse_centermap3d(maps.center_maps_3d, 8, 0.1)
     bev_regress_params(store, maps, det, anchors)
     return store.params

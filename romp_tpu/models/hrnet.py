@@ -114,20 +114,20 @@ def _seg_stage2(store: ParamStore, xs, prefix: str):
     return hr_module(store, f"{prefix}.stage2.0", xs, STAGE2_CHANNELS)
 
 
-def _seg_stage3(store: ParamStore, ys, prefix: str):
+def _seg_stage3(store: ParamStore, ys, prefix: str, modules: int = 4):
     xs = _transition(store, f"{prefix}.transition2", ys, STAGE2_CHANNELS,
                      STAGE3_CHANNELS)
-    for m in range(4):
+    for m in range(modules):
         xs = hr_module(store, f"{prefix}.stage3.{m}", xs, STAGE3_CHANNELS)
     return xs
 
 
-def _seg_stage4(store: ParamStore, xs, prefix: str):
+def _seg_stage4(store: ParamStore, xs, prefix: str, modules: int = 3):
     xs = _transition(store, f"{prefix}.transition3", xs, STAGE3_CHANNELS,
                      STAGE4_CHANNELS)
-    for m in range(3):
+    for m in range(modules):
         xs = hr_module(store, f"{prefix}.stage4.{m}", xs, STAGE4_CHANNELS,
-                       multi_scale_output=(m != 2))
+                       multi_scale_output=(m != modules - 1))
     return [xs[0]]
 
 
@@ -145,6 +145,19 @@ def hrnet_w32_segments(prefix: str = "backbone"):
 
     return [functools.partial(f, prefix=prefix)
             for f in (_seg_stem, _seg_stage2, _seg_stage3, _seg_stage4)]
+
+
+def hrnet_w32_tiny_segments(prefix: str = "backbone"):
+    """Depth-reduced HRNet (1 module in stages 3/4 instead of 4/3): the SAME
+    branch/transition/fuse structure and parameter-name scheme, ~2.5x fewer
+    convs. For compile-budgeted correctness checks (multi-chip dryruns) —
+    NOT checkpoint-compatible with released weights."""
+    import functools
+
+    return [functools.partial(_seg_stem, prefix=prefix),
+            functools.partial(_seg_stage2, prefix=prefix),
+            functools.partial(_seg_stage3, prefix=prefix, modules=1),
+            functools.partial(_seg_stage4, prefix=prefix, modules=1)]
 
 
 def hrnet_w32(store: ParamStore, x: jax.Array,

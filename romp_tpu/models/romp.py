@@ -61,9 +61,18 @@ def romp_forward(store: ParamStore, image: jax.Array,
     backbone: "hrnet32" (inference package default) or "resnet50" (the
     training repo's alternative, `romp/lib/models/build.py:13`).
     """
-    if backbone == "hrnet32":
-        feat = hrnet_w32(store, (image / 255.0) * 2.0 - 1.0,
-                         prefix="backbone")
+    if backbone in ("hrnet32", "hrnet32_tiny"):
+        from romp_tpu.models.hrnet import (
+            hrnet_w32_segments, hrnet_w32_tiny_segments,
+        )
+
+        segs = (hrnet_w32_tiny_segments("backbone")
+                if backbone == "hrnet32_tiny"
+                else hrnet_w32_segments("backbone"))
+        xs = [(image / 255.0) * 2.0 - 1.0]
+        for seg in segs:
+            xs = seg(store, xs)
+        feat = xs[0]
     elif backbone == "resnet50":
         from romp_tpu.models.resnet import resnet50
 
@@ -97,13 +106,18 @@ def romp_forward_segments(backbone: str = "hrnet32"):
     per-stage training rematerialization (see hrnet.hrnet_w32_segments).
     First segment consumes [image (B, S, S, 3) in [0, 255]]; last returns
     [center_maps, params_maps]."""
-    from romp_tpu.models.hrnet import hrnet_w32_segments
+    from romp_tpu.models.hrnet import (
+        hrnet_w32_segments, hrnet_w32_tiny_segments,
+    )
 
-    if backbone == "hrnet32":
+    if backbone in ("hrnet32", "hrnet32_tiny"):
         def normalize(store, xs):
             return [(xs[0] / 255.0) * 2.0 - 1.0]
 
-        return [normalize] + hrnet_w32_segments("backbone") + [_seg_heads]
+        segs = (hrnet_w32_tiny_segments("backbone")
+                if backbone == "hrnet32_tiny"
+                else hrnet_w32_segments("backbone"))
+        return [normalize] + segs + [_seg_heads]
     from romp_tpu.models.resnet import resnet50
 
     # resnet50 takes the raw [0, 255] image (it normalizes internally) and

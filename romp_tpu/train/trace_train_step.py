@@ -41,6 +41,9 @@ from romp_tpu.train.video_losses import (
 
 class TraceTrainConfig(NamedTuple):
     lr: float = 1e-4
+    lr_milestones: Tuple[int, ...] = ()  # MultiStepLR steps (romp/base.py:70)
+    lr_decay: float = 0.1
+    warmup_steps: int = 0
     weight_decay: float = 1e-6
     grad_clip: float = 3.0
     centermap3d_weight: float = 1.0
@@ -63,9 +66,13 @@ class TraceTrainState(NamedTuple):
 
 
 def _optimizer(cfg: TraceTrainConfig):
+    from romp_tpu.train.train_step import make_lr_schedule
+
+    lr = make_lr_schedule(cfg.lr, cfg.lr_milestones, cfg.lr_decay,
+                          cfg.warmup_steps)
     return optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                    optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)),
+                    optax.adamw(lr, weight_decay=cfg.weight_decay)),
         max_consecutive_errors=10000)
 
 
@@ -85,17 +92,16 @@ def trace_compute_losses(trainable, bn_state, batch,
     T = T1 - 1
     N = batch["traj_valid"].shape[1]
 
-    loss_dict = {}
-    all_metrics = []
-    # clips processed sequentially (B is small for video training; the data
-    # axis of the mesh shards B across chips)
-    for b in range(B):
-        maps, _ = trace_forward_maps(store, batch["feature_maps"][b],
-                                     batch["flows"][b],
-                                     temp_clip_length=T)
+    # One clip's losses as a PURE function, vmapped over the batch: the
+    # graph is traced/compiled ONCE instead of unrolled B times (a batch-8
+    # dryrun previously compiled 8 copies of the temporal head). BN stat
+    # updates are returned, vmapped out, and averaged over clips.
+    def clip_losses(fm, fl, czyx, valid, pose_gt, betas_gt, traj3d_gt,
+                    wtrans_gt, wgrot_gt):
+        st = ParamStore({**trainable, **bn_state}, train=True,
+                        compute_dtype=dt)
+        maps, _ = trace_forward_maps(st, fm, fl, temp_clip_length=T)
         D, H = maps.center_maps_3d.shape[1], maps.center_maps_3d.shape[2]
-        czyx = batch["traj_czyx"][b]               # (N, T, 3)
-        valid = batch["traj_valid"][b]             # (N, T)
 
         c3d_gt = generate_centermap3d(
             czyx.transpose(1, 0, 2), valid.T, map_size=H, depth_size=D)
@@ -115,31 +121,29 @@ def trace_compute_losses(trainable, bn_state, batch,
         cam_rot = sample_maps_at(maps.cam_rot_maps, yx_flat
                                  ).transpose(1, 0, 2)
 
-        params_pred = trace_regress_trajectory(store, feats)  # (N, T, 159)
-        normed_cams = trace_regress_trans(store, cams_init, feats)
+        params_pred = trace_regress_trajectory(st, feats)  # (N, T, 159)
+        normed_cams = trace_regress_trans(st, cams_init, feats)
 
         w = valid.astype(jnp.float32)
         pose_pred = rot6d_to_axis_angle(
             params_pred[..., 6:132].reshape(N * T, -1)).reshape(N, T, 63)
         loss_pose = losses.pose_l2_loss(
-            batch["pose_gt"][b, ..., 3:].reshape(N * T, 63),
+            pose_gt[..., 3:].reshape(N * T, 63),
             pose_pred.reshape(N * T, 63), w.reshape(-1))
         loss_shape = losses.shape_loss(
-            batch["betas_gt"][b].reshape(N * T, -1)[:, :10],
+            betas_gt.reshape(N * T, -1)[:, :10],
             params_pred[..., 138:148].reshape(N * T, 10), w.reshape(-1))
 
-        loss_motion = motion_offset3d_loss(motion, batch["traj3d_gt"][b],
-                                           valid)
+        loss_motion = motion_offset3d_loss(motion, traj3d_gt, valid)
         # world accumulation: init at first frame + cumsum of cam motions
         world_pred = (normed_cams[:, :1]
                       + jnp.cumsum(cam_motion, axis=1))
         loss_wtrans = world_trans_consistency_loss(
-            world_pred, batch["world_trans_gt"][b], valid)
+            world_pred, wtrans_gt, valid)
         wgrot_pred = rot6d_to_axis_angle(
             (cam_rot + params_pred[..., 6:12]).reshape(N * T, 6)
         ).reshape(N, T, 3)
-        loss_wgrot = quaternion_angle_loss(
-            wgrot_pred, batch["world_grot_gt"][b], w)
+        loss_wgrot = quaternion_angle_loss(wgrot_pred, wgrot_gt, w)
         loss_tshape = temporal_shape_consistency_loss(
             params_pred[..., 138:149], valid)
 
@@ -157,9 +161,15 @@ def trace_compute_losses(trainable, bn_state, batch,
 
             m["prior"] = cfg.prior_weight * gmm_prior_loss(
                 prior, pose_pred.reshape(N * T, 63), w.reshape(-1))
-        all_metrics.append(m)
-    loss_dict = {k: sum(m[k] for m in all_metrics) / B
-                 for k in all_metrics[0]}
+        return m, st.stats_updates
+
+    m_b, stats_b = jax.vmap(clip_losses)(
+        batch["feature_maps"], batch["flows"], batch["traj_czyx"],
+        batch["traj_valid"], batch["pose_gt"], batch["betas_gt"],
+        batch["traj3d_gt"], batch["world_trans_gt"],
+        batch["world_grot_gt"])
+    loss_dict = {k: jnp.mean(v) for k, v in m_b.items()}
+    store.stats_updates = {k: v.mean(axis=0) for k, v in stats_b.items()}
     from romp_tpu.train.loss_merger import merge_losses
 
     total, metrics = merge_losses(loss_dict, cfg.loss_thresh)
