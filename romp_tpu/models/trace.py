@@ -33,7 +33,7 @@ from romp_tpu.models.layers import (
     basic_block_conv_ds, bn_relu, conv2d, embedding_lookup, linear,
 )
 from romp_tpu.models.romp import coord_maps
-from romp_tpu.ops.deform_conv import deform_conv2d
+from romp_tpu.ops.pallas_deform import deform_conv2d_fast
 
 OUTMAP = 128
 DEPTH_LEVELS = 64
@@ -193,7 +193,9 @@ def extract_temporal_features(store: ParamStore, image_feature_maps: jax.Array,
                   lambda r, s: jax.random.normal(r, s) * 0.02)
     # offsets (coordinates) stay f32; the VALUE matmuls inside follow the
     # activation dtype (bf16 fast path halves the one-hot weight traffic).
-    warped = deform_conv2d(
+    # Pallas kernel on TPU (VMEM-resident taps), XLA one-hot matmuls
+    # elsewhere; backward is the XLA VJP (ops/pallas_deform.py).
+    warped = deform_conv2d_fast(
         image_feature_maps[1:].astype(store.act_dtype),
         offsets.astype(jnp.float32), w.astype(store.act_dtype),
         deform_groups=8)

@@ -73,3 +73,61 @@ def test_deform_groups_independent():
     np.testing.assert_allclose(out[0, 3:-3, 3:-3, 1],
                                xn[0, 5:-1, 3:-3, 7], atol=1e-5)
 
+
+
+# ----------------------------------------------------- Pallas deform warp --
+
+def test_pallas_deform_matches_xla():
+    """Pallas kernel (interpret mode on CPU) vs the XLA one-hot-matmul
+    implementation: identical math, bit-close outputs."""
+    from romp_tpu.ops.pallas_deform import deform_conv2d_pallas
+
+    rng = np.random.RandomState(0)
+    B, H, W, C, G = 2, 8, 8, 16, 4
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    off = jnp.asarray((rng.randn(B, H, W, G * 2 * 9) * 1.5
+                       ).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, 12).astype(np.float32) * 0.1)
+
+    ref = deform_conv2d(x, off, w, deform_groups=G)
+    out = deform_conv2d_pallas(x, off, w, deform_groups=G, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_deform_zero_offsets_is_conv():
+    """Zero offsets reduce to an ordinary 3x3 conv (zero-padded)."""
+    from romp_tpu.ops.pallas_deform import deform_conv2d_pallas
+
+    rng = np.random.RandomState(1)
+    B, H, W, C, G = 1, 8, 8, 8, 2
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    off = jnp.zeros((B, H, W, G * 2 * 9), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, C, 8).astype(np.float32) * 0.1)
+    out = deform_conv2d_pallas(x, off, w, deform_groups=G, interpret=True)
+    conv = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(conv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_deform_fast_grad_matches_xla():
+    """deform_conv2d_fast's custom VJP (XLA backward) == grad of the XLA
+    forward."""
+    from romp_tpu.ops.pallas_deform import deform_conv2d_fast
+
+    rng = np.random.RandomState(2)
+    B, H, W, C, G = 1, 4, 4, 8, 2
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    off = jnp.asarray((rng.randn(B, H, W, G * 2 * 9) * 0.7
+                       ).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, 4).astype(np.float32) * 0.1)
+
+    f_fast = lambda x, o, w: jnp.sum(deform_conv2d_fast(x, o, w, G) ** 2)
+    f_ref = lambda x, o, w: jnp.sum(deform_conv2d(x, o, w, G) ** 2)
+    g_fast = jax.grad(f_fast, argnums=(0, 1, 2))(x, off, w)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, off, w)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
