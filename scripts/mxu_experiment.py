@@ -148,6 +148,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     if args.check:
+        jax.config.update("jax_platforms", "cpu")  # axon overrides the env
         check()
         return
 
