@@ -56,21 +56,26 @@ def main():
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
-    # Fast path: bf16 MXU convs + bf16 activations (folded BN). f32
-    # activations reported alongside (the strict-parity precision mode).
-    t_fast = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
-                                act_dtype="bfloat16", calc_smpl=True))
-    t_f32a = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
-                                act_dtype="float32", calc_smpl=True))
+    # Headline = the MIXED path: bf16 MXU convs, f32 activations — measured
+    # BIT-IDENTICAL to full-f32 end to end (scripts/bf16_accuracy.py: zero
+    # map delta, 100% detection agreement on BN-calibrated weights), so it
+    # costs nothing in accuracy. The bf16-activation path is faster still
+    # but its rounding is unbounded at the map level; it stays an opt-in
+    # (act_dtype=bfloat16) and is reported alongside.
+    t_mixed = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
+                                 act_dtype="float32", calc_smpl=True))
+    t_bf16a = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
+                                 act_dtype="bfloat16", calc_smpl=True))
 
-    imgs_per_sec = batch / t_fast
+    imgs_per_sec = batch / t_mixed
     print(json.dumps({
-        "metric": "images/sec/chip (ROMP HRNet-32 512^2, bf16, e2e incl. SMPL)",
+        "metric": "images/sec/chip (ROMP HRNet-32 512^2, bf16-MXU/f32-act "
+                  "[bit-identical to f32], e2e incl. SMPL)",
         "value": round(imgs_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 500.0, 3),
-        "p50_batch_ms": round(t_fast * 1000.0, 2),
-        "f32_act_img_s": round(batch / t_f32a, 2),
+        "p50_batch_ms": round(t_mixed * 1000.0, 2),
+        "bf16_act_img_s": round(batch / t_bf16a, 2),
         "batch": batch,
         "device": str(jax.devices()[0]),
     }))

@@ -38,16 +38,23 @@ def main():
     from romp_tpu.models.romp import init_romp_params
     from romp_tpu.pipeline.romp_pipeline import RompConfig, romp_inference
 
+    # act=float32 ("mixed") is the headline config: measured BIT-IDENTICAL
+    # to f32 end to end (scripts/bf16_accuracy.py). act=bfloat16 is the
+    # opt-in fast path (unbounded map-level rounding at random init).
     smpl = SmplModel.from_assets(synthetic_assets(seed=0))
-    for backbone, batch in (("hrnet32", 512), ("resnet50", 256)):
+    for backbone, batch, act in (("hrnet32", 512, "float32"),
+                                 ("hrnet32", 512, "bfloat16"),
+                                 ("resnet50", 256, "float32")):
         params = init_romp_params(jax.random.PRNGKey(0), backbone=backbone)
         cfg = RompConfig(max_person=8, compute_dtype="bfloat16",
-                         act_dtype="bfloat16", backbone=backbone)
+                         act_dtype=act, backbone=backbone)
         images = jnp.asarray(
             rng.rand(batch, 512, 512, 3).astype(np.float32) * 255.0)
-        f = jax.jit(lambda p, im: checksum(romp_inference(p, smpl, im, cfg)))
+        f = jax.jit(lambda p, im, cfg=cfg: checksum(
+            romp_inference(p, smpl, im, cfg)))
         t = _measure(lambda: float(f(params, images)))
-        results.append({"model": f"romp_{backbone}", "batch": batch,
+        tag = "_bf16act" if act == "bfloat16" else ""
+        results.append({"model": f"romp_{backbone}{tag}", "batch": batch,
                         "img_s": round(batch / t, 1),
                         "p50_batch_ms": round(t * 1e3, 1)})
         print(json.dumps(results[-1]), flush=True)
@@ -60,7 +67,7 @@ def main():
     baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
     params = init_bev_params(jax.random.PRNGKey(0))
     cfg = BevConfig(max_person=8, compute_dtype="bfloat16",
-                    act_dtype="bfloat16")
+                    act_dtype="float32")
     batch = 128
     images = jnp.asarray(
         rng.rand(batch, 512, 512, 3).astype(np.float32) * 255.0)
@@ -91,20 +98,33 @@ def main():
     raft_params = init_raft_params(jax.random.PRNGKey(2))
     flow_fn = make_trace_flow_fn(raft_params, iters=12)  # fast path; CLI default = 20 (reference parity)
     frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
-    for name, ffn in (("trace_clip8", flow_fn),
-                      ("trace_clip8_zeroflow", None)):
-        pipe = TracePipeline(tparams, adult, baby, cfg, sc, flow_fn=ffn)
-        pipe.process_clip(frames)
+    cfg_mixed = TraceConfig(temp_clip_length=8, max_person=8,
+                            conf_thresh=-1e9, compute_dtype="bfloat16",
+                            act_dtype="float32", transfer_dtype="float16")
+    for name, ffn, tcfg in (
+            ("trace_clip8", flow_fn, cfg),
+            ("trace_clip8_mixed", flow_fn, cfg_mixed),
+            ("trace_clip8_zeroflow", None, cfg)):
+        pipe = TracePipeline(tparams, adult, baby, tcfg, sc, flow_fn=ffn)
+        pipe.process_clip(frames)          # compile
 
-        def run_clip():
-            pipe.process_clip(frames)
+        # throughput mode = the pipelined stream the CLI uses (device
+        # frontend of clip k+1 overlaps host backend of clip k)
+        n_stream = 6
 
-        t = _measure(run_clip, iters=5, warmup=1)
+        def run_stream():
+            for _ in pipe.process_stream(frames for _ in range(n_stream)):
+                pass
+
+        t = _measure(run_stream, iters=3, warmup=1) / n_stream
+        note = ("pipelined stream incl. RAFT flow + host tracking"
+                if ffn else "flow disabled")
+        if tcfg.act_dtype == "bfloat16":
+            note += "; bf16-act fast path (opt-in)"
         results.append({"model": name, "batch": 8,
                         "img_s": round(8 / t, 1),
                         "p50_clip_ms": round(t * 1e3, 1),
-                        "note": "full pipeline incl. RAFT flow + host "
-                                "tracking" if ffn else "flow disabled"})
+                        "note": note})
         print(json.dumps(results[-1]), flush=True)
 
     # ---- ROMP training step (per-stage remat, bf16 activations) ----

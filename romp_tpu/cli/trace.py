@@ -33,6 +33,12 @@ def trace_settings(input_args=None):
     parser.add_argument("--raft_iters", type=int, default=20,
                         help="RAFT refinement iterations (reference uses "
                              "20; 12 is a ~1.5x-faster fast path)")
+    parser.add_argument("--flow_size", type=int, default=512,
+                        help="RAFT input resolution (512 = reference "
+                             "parity; 256 runs flow ~3x faster)")
+    parser.add_argument("--flow_dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="RAFT compute dtype (bfloat16 = fast path)")
     args = parser.parse_args(input_args)
     args.calc_smpl = True
     return args

@@ -89,7 +89,9 @@ def run_trace(settings) -> int:
 
         raft_params = {k: jnp.asarray(v) for k, v in raft_params.items()}
         flow_fn = make_trace_flow_fn(
-            raft_params, iters=getattr(settings, "raft_iters", 20))
+            raft_params, iters=getattr(settings, "raft_iters", 20),
+            compute_dtype=getattr(settings, "flow_dtype", "float32"),
+            flow_input_size=getattr(settings, "flow_size", 512))
     else:
         print("RAFT weights not found; running TRACE with zero optical flow",
               file=sys.stderr)
@@ -109,18 +111,17 @@ def run_trace(settings) -> int:
 
     results_per_frame: Dict[int, Dict] = {}
     starts = list(range(0, len(frame_paths), T))
-    # decode + upload the NEXT clip before processing the current one, so
-    # the host->device transfer overlaps the device compute (the upload is
-    # a dominant per-clip cost on a tunneled device)
-    pending = pipe.prefetch(decode_chunk(starts[0])) if starts else None
-    for i, start in enumerate(starts):
-        frames = pending
-        pending = (pipe.prefetch(decode_chunk(starts[i + 1]))
-                   if i + 1 < len(starts) else None)
-        out = pipe.process_clip(frames)
+
+    # Pipelined stream: process_stream dispatches clip k+1's device frontend
+    # before collecting clip k, so decode + upload + backbone/flow/maps of
+    # the next clip all overlap the current clip's host tracking/smoothing.
+    def clip_iter():
+        for s in starts:
+            yield pipe.prefetch(decode_chunk(s))
+
+    for start, out in zip(starts, pipe.process_stream(clip_iter())):
         if out is None:
             continue
-        n_frames = frames.shape[0]
         for row in range(len(out["track_ids"])):
             fid = start + int(out["frame_ids"][row])
             if not out["frame_valid"][row]:
@@ -130,7 +131,6 @@ def run_trace(settings) -> int:
                 "smpl_thetas", "smpl_betas", "pj2d", "verts", "joints")})
             for k in fr:
                 fr[k].append(out[k][row])
-        del n_frames
     for fid in results_per_frame:
         results_per_frame[fid] = {
             k: np.stack(v) for k, v in results_per_frame[fid].items()}

@@ -257,20 +257,40 @@ def filter_raft_state_dict(params: dict) -> dict:
 
 
 def make_trace_flow_fn(raft_params: dict, iters: int = 20,
-                       out_size: int = 128):
+                       out_size: int = 128,
+                       compute_dtype: str = "float32",
+                       flow_input_size: int = 512):
     """Flow extractor for TRACE, matching the reference FlowExtract
     (`trace2/models/raft/process.py:17-28`): RAFT at full 512 resolution,
     bilinearly resized to 128x128 and divided by 8 (flow-vector units on the
     feature map grid). Returns a jitted fn (prev, cur) -> (T, 128, 128, 2).
+
+    compute_dtype="bfloat16" halves the dominant HBM traffic (the all-pairs
+    correlation volume is ~0.5 GB/clip at f32); iteration math and the flow
+    accumulator stay f32 via the update loop's residual structure.
+
+    flow_input_size < 512 is the fast path: frames are resized on device
+    before RAFT (256 quarters the encoder pixels and shrinks the correlation
+    volume 16x) and the flow vectors are rescaled back to 512-equivalent
+    units, so downstream consumers see the same convention. Parity default
+    stays 512.
     """
+    dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    S = flow_input_size
+
     @jax.jit
     def flow_fn(frames_prev, frames_cur):
-        store = ParamStore(raft_params)
+        store = ParamStore(raft_params, compute_dtype=dt, act_dtype=dt)
+        if S != frames_prev.shape[1]:
+            rs = lambda f: jax.image.resize(
+                f.astype(jnp.float32), (f.shape[0], S, S, 3), "bilinear")
+            frames_prev, frames_cur = rs(frames_prev), rs(frames_cur)
         _, flow_up = raft_forward(store, frames_prev, frames_cur,
                                   iters=iters)
+        flow_up = flow_up.astype(jnp.float32)
         flow = jax.image.resize(
             flow_up, (flow_up.shape[0], out_size, out_size, 2), "bilinear")
-        return flow / 8.0
+        return flow * (512.0 / S) / 8.0
 
     return flow_fn
 

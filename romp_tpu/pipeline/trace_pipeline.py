@@ -90,7 +90,13 @@ def trace_extract_features(params, images, _unused, cfg: TraceConfig):
 @functools.partial(jax.jit, static_argnums=(4,))
 def trace_maps_and_detect(params, feature_maps, flows, hidden,
                           cfg: TraceConfig):
-    """Device stage 1: maps + fixed-K per-frame detections + gathers."""
+    """Device stage 1: maps + fixed-K per-frame detections + gathers.
+
+    Everything the host tracker consumes is packed into ONE (T, K, 11)
+    float32 buffer — [mask, zyx(3), score, motion(3), init_cam(3)] — so the
+    host pays a single fetch round trip instead of six (each fetch is a full
+    network RTT on a remote-tunneled device).
+    """
     store = _store(params, cfg)
     maps, hidden = trace_forward_maps(
         store, feature_maps, flows, hidden,
@@ -107,8 +113,13 @@ def trace_maps_and_detect(params, feature_maps, flows, hidden,
         store, cams.reshape(-1, 1, 3), feats.reshape(-1, 1, HC)
     ).reshape(cams.shape)
     f32 = lambda x: x.astype(jnp.float32)
-    return (maps, hidden, det, f32(cams), f32(motions), f32(feats),
-            f32(init_cams))
+    det_pack = jnp.concatenate([
+        det.mask.astype(jnp.float32)[..., None],
+        zyx.astype(jnp.float32),
+        f32(det.scores)[..., None],
+        f32(motions),
+        f32(init_cams)], axis=-1)                    # (T, K, 11)
+    return maps, hidden, det_pack
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -117,8 +128,9 @@ def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
     """Device stage 2: trajectory regression + map gathers at traj positions.
 
     traj_feats: (N, T, 128) gated features; cams_init_traj: (N, T, 3);
-    traj_yx: (N, T, 2) int (y, x). Returns params_pred (N, T, 159), normed
-    cams (N, T, 3), cam motions (N, T, 3), cam rot maps at traj (N, T, 6).
+    traj_yx: (N, T, 2) int (y, x). Returns ONE packed (N, T, 171) float32
+    buffer — [params_pred(159), normed_cams(3), cam_motion(3), cam_rot(6)]
+    — one host fetch instead of four.
     """
     store = _store(params, cfg)
     params_pred = trace_regress_trajectory(store, traj_feats)
@@ -128,9 +140,10 @@ def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
     cam_motion = sample_maps_at(maps.cam_motion_maps, yx_flat)  # (T, N, 3)
     cam_rot = sample_maps_at(maps.cam_rot_maps, yx_flat)        # (T, N, 6)
     f32 = lambda x: x.astype(jnp.float32)
-    return (f32(params_pred), f32(normed_cams),
-            f32(cam_motion).transpose(1, 0, 2),
-            f32(cam_rot).transpose(1, 0, 2))
+    return jnp.concatenate([
+        f32(params_pred), f32(normed_cams),
+        f32(cam_motion).transpose(1, 0, 2),
+        f32(cam_rot).transpose(1, 0, 2)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -163,8 +176,16 @@ def _trace_smpl_stage(params_pred, normed_cams, cam_rot, smpls,
         tcast = lambda a: jnp.clip(a, -6.0e4, 6.0e4).astype(jnp.float16)
     else:
         tcast = lambda a: a
-    return (thetas, betas, tcast(verts), tcast(joints),
-            cam_trans, tcast(pj2d), world_grots)
+    # Two packed fetch buffers (small f32 params + big transfer-dtype
+    # geometry): 2 host fetches instead of 7 — each is an RTT on a
+    # remote-tunneled device. Host split offsets are derived from the SMPL
+    # model shapes (see TracePipeline._geom_split).
+    pack_f32 = jnp.concatenate(
+        [thetas, betas, cam_trans, world_grots], axis=-1)   # (NT, 89)
+    pack_geom = tcast(jnp.concatenate(
+        [verts.reshape(N * T, -1), joints.reshape(N * T, -1),
+         pj2d.reshape(N * T, -1)], axis=-1))
+    return pack_f32, pack_geom
 
 
 TAN_FOV_HALF_TRACE_J = float(np.tan(np.radians(25.0)))
@@ -174,13 +195,15 @@ TAN_FOV_HALF_TRACE_J = float(np.tan(np.radians(25.0)))
 def _trace_gather_traj(mesh_feature_maps, cam_maps_3d, czyxs):
     """Trajectory-position gathers fused into one device call.
 
-    czyxs: (N, T, 3) int. Returns (feat_traj (N, T, C), cams_init (N, T, 3)).
+    czyxs: (N, T, 3) int. Returns one packed (N, T, C+3) buffer
+    [features(C), init_cams(3)] — a single host fetch.
     """
     H = mesh_feature_maps.shape[1]
     yx_flat = (czyxs[..., 1] * H + czyxs[..., 2]).T             # (T, N)
     feat = sample_maps_at(mesh_feature_maps, yx_flat)           # (T, N, C)
     cams = _sample3d(cam_maps_3d, czyxs.transpose(1, 0, 2))     # (T, N, 3)
-    return feat.transpose(1, 0, 2), cams.transpose(1, 0, 2)
+    return jnp.concatenate(
+        [feat.transpose(1, 0, 2), cams.transpose(1, 0, 2)], axis=-1)
 
 
 class TracePipeline:
@@ -230,14 +253,29 @@ class TracePipeline:
         self.last_frame: Optional[np.ndarray] = None
         self.last_feature_map: Optional[jax.Array] = None
 
-    def process_clip(self, frames: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
-        """frames: (T, 512, 512, 3) float RGB [0, 255]. Returns per-person
-        results for each frame of the clip (flattened N x T entries)."""
+    def _geom_split(self) -> tuple:
+        """(3V, 3J) host-side split offsets of the packed geometry buffer,
+        derived from the SMPL model shapes (no device fetch)."""
+        m = self.smpl_adult
+        V = m.v_template.shape[0]
+        J = (m.J_regressor.shape[0] + m.extra_joints_idxs.shape[0]
+             + m.J_regressor_extra9.shape[0] + m.J_regressor_h36m17.shape[0])
+        return 3 * V, 3 * J
+
+    def dispatch_clip(self, frames) -> Dict:
+        """Enqueue the device frontend (backbone -> flow -> maps + detect)
+        for one clip WITHOUT any host synchronization, and advance the
+        cross-clip device state (GRU hidden, last frame/feature handles).
+
+        Returns a handle dict for collect_clip. Because nothing here blocks,
+        the caller can dispatch clip k+1 before collecting clip k: the
+        device then computes the next clip's frontend while the host runs
+        this clip's tracking/smoothing (see process_stream).
+        """
         import time as _time
 
         cfg = self.cfg
-        T = frames.shape[0]
-        self.stage_times = {}
+        T = int(frames.shape[0])
         t0 = _time.perf_counter()
         # ONE uint8 upload of the clip, shared by backbone and flow (a
         # float32 upload of 8x512x512x3 is ~25 MB — the single biggest cost
@@ -268,21 +306,32 @@ class TracePipeline:
             flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
         self.last_frame = frames_dev[-1:]
 
-        maps, self.hidden, det, cams, motions, feats_det, init_cams = \
-            trace_maps_and_detect(self.params, feats_full, flows,
-                                  self.hidden, cfg)
-        t0 = self._tick("maps_detect", t0, sync=det.scores)
+        maps, self.hidden, det_pack = trace_maps_and_detect(
+            self.params, feats_full, flows, self.hidden, cfg)
+        self._tick("maps_dispatch", t0)
+        return {"maps": maps, "det_pack": det_pack, "T": T}
 
-        # ---- host: tracking + memory ----
-        det_np = {k: np.asarray(v) for k, v in
-                  {"mask": det.mask, "zyx": det.zyx, "scores": det.scores}.items()}
-        cams_np, motions_np, init_np = (np.asarray(cams), np.asarray(motions),
-                                        np.asarray(init_cams))
+    def collect_clip(self, handles: Dict) -> Optional[Dict[str, np.ndarray]]:
+        """Host backend for a dispatched clip: fetch detections, track,
+        regress trajectories, smooth, SMPL, fetch results."""
+        import time as _time
+
+        cfg = self.cfg
+        maps, T = handles["maps"], handles["T"]
+        t0 = _time.perf_counter()
+        # ---- host: tracking + memory (ONE packed fetch) ----
+        det = np.asarray(handles["det_pack"])          # (T, K, 11)
+        t0 = self._tick("maps_detect", t0)
+        mask = det[..., 0] > 0.5
+        zyx_np = det[..., 1:4].astype(np.int32)
+        scores_np = det[..., 4]
+        motions_np = det[..., 5:8]
+        init_np = det[..., 8:11]
         det_czyxs, det_scores, det_cams, det_motions = [], [], [], []
         for f in range(T):
-            m = det_np["mask"][f]
-            det_czyxs.append(det_np["zyx"][f][m].astype(np.int32))
-            det_scores.append(det_np["scores"][f][m])
+            m = mask[f]
+            det_czyxs.append(zyx_np[f][m])
+            det_scores.append(scores_np[f][m])
             det_cams.append(init_np[f][m])
             det_motions.append(motions_np[f][m])
         traj, self.tracker = assemble_trajectories(
@@ -309,19 +358,23 @@ class TracePipeline:
             czyxs_p = np.concatenate(
                 [traj.czyxs, np.zeros((n_pad - N, T_, 3),
                                       traj.czyxs.dtype)], axis=0)
-        feat_traj, cams_init_traj = map(np.array, _trace_gather_traj(
+        gather = np.asarray(_trace_gather_traj(
             maps.mesh_feature_maps, maps.cam_maps_3d, jnp.asarray(czyxs_p)))
+        feat_traj = np.ascontiguousarray(gather[..., :HC])
+        cams_init_traj = gather[..., HC:]
         t0 = self._tick("traj_gather", t0)
         feat_traj[:N] = gate_features_with_memory(
             traj, feat_traj[:N], self.memory, self.seq_cfg)
         t0 = self._tick("memory_gate", t0)
 
-        params_pred_d, normed_cams_d, cam_motion, cam_rot = trace_regress(
+        reg = np.asarray(trace_regress(
             self.params, jnp.asarray(feat_traj),
             jnp.asarray(cams_init_traj),
-            jnp.asarray(czyxs_p[..., 1:]), cfg, maps=maps)
-        params_pred = np.array(params_pred_d)          # (n_pad, T, 159)
-        normed_cams = np.array(normed_cams_d)
+            jnp.asarray(czyxs_p[..., 1:]), cfg, maps=maps))
+        params_pred = np.ascontiguousarray(reg[..., :159])  # (n_pad, T, 159)
+        normed_cams = np.ascontiguousarray(reg[..., 159:162])
+        cam_motion = reg[..., 162:165]
+        cam_rot = reg[..., 165:171]
         t0 = self._tick("regress", t0)
 
         if self.seq_cfg.smooth_pose_shape:
@@ -330,25 +383,25 @@ class TracePipeline:
         normed_cams[:N] = infill_and_smooth_cams(
             traj, normed_cams[:N], self.memory, self.seq_cfg)
         world_cams = accumulate_world_cams(
-            traj, normed_cams[:N], np.asarray(cam_motion)[:N], self.memory,
+            traj, normed_cams[:N], cam_motion[:N], self.memory,
             self.init_world_cams, self.seq_cfg)
         t0 = self._tick("host_smooth_world", t0)
 
         # ---- device: SMPL + projection, ONE jitted call (eager op-by-op
         # here costs seconds per clip on remote-tunneled devices) ----
-        thetas, betas, verts, joints, cam_trans, pj2d, world_grots = \
-            _trace_smpl_stage(
-                jnp.asarray(params_pred), jnp.asarray(normed_cams),
-                jnp.asarray(np.asarray(cam_rot)),
-                (self.smpl_adult, self.smpl_baby), cfg.input_size,
-                cfg.transfer_dtype)
-        # fetch only the live N*T rows (padding is trailing, N-major)
+        pack_f32, pack_geom = _trace_smpl_stage(
+            jnp.asarray(params_pred), jnp.asarray(normed_cams),
+            jnp.asarray(cam_rot),
+            (self.smpl_adult, self.smpl_baby), cfg.input_size,
+            cfg.transfer_dtype)
+        # fetch only the live N*T rows (padding is trailing, N-major) —
+        # TWO packed fetches total for all seven result tensors
         nt = N * T_
-        thetas = np.asarray(thetas[:nt])
-        betas = np.asarray(betas[:nt])
-        cam_trans = np.asarray(cam_trans[:nt])
+        p32 = np.asarray(pack_f32[:nt])                # (nt, 89)
+        geom = np.asarray(pack_geom[:nt], np.float32)  # (nt, 3V+3J+2J)
+        v3, j3 = self._geom_split()
         normed_cams = normed_cams[:N]
-        t0 = self._tick("smpl_project", t0, sync=pj2d[0])
+        t0 = self._tick("smpl_project", t0)
 
         out = {
             "track_ids": np.repeat(traj.track_ids, T),
@@ -356,14 +409,41 @@ class TracePipeline:
             "frame_valid": traj.frame_valid.reshape(-1),
             "czyxs": traj.czyxs.reshape(N * T, 3),
             "cam": normed_cams.reshape(N * T, 3),
-            "cam_trans": cam_trans,
+            "cam_trans": p32[:, 83:86],
             "world_cams": world_cams.reshape(N * T, 3),
-            "world_grots": np.asarray(world_grots[:nt]),
-            "smpl_thetas": thetas,
-            "smpl_betas": betas,
-            "verts": np.asarray(verts[:nt]).astype(np.float32),
-            "joints": np.asarray(joints[:nt]).astype(np.float32),
-            "pj2d": np.asarray(pj2d[:nt]).astype(np.float32),
+            "world_grots": p32[:, 86:89],
+            "smpl_thetas": p32[:, :72],
+            "smpl_betas": p32[:, 72:83],
+            "verts": geom[:, :v3].reshape(nt, -1, 3),
+            "joints": geom[:, v3:v3 + j3].reshape(nt, -1, 3),
+            "pj2d": geom[:, v3 + j3:].reshape(nt, -1, 2),
         }
         self._tick("fetch_results", t0)
         return out
+
+    def process_clip(self, frames) -> Optional[Dict[str, np.ndarray]]:
+        """frames: (T, 512, 512, 3) RGB [0, 255] (ndarray or a prefetch()
+        handle). Returns per-person results for each frame of the clip
+        (flattened N x T entries). Sequential dispatch + collect; for
+        throughput over a whole sequence use process_stream."""
+        return self.collect_clip(self.dispatch_clip(frames))
+
+    def process_stream(self, clips, depth: int = 1):
+        """Pipelined driver over an iterable of clips: the device computes
+        clip k+1's frontend (backbone/flow/maps — the bulk of the device
+        work) while the host runs clip k's tracking/smoothing backend.
+
+        The cross-clip recurrences (GRU hidden, tracker, memory5D) stay
+        exact: dispatch_clip only consumes device-side state already
+        produced by the previous dispatch, and collect_clip consumes host
+        state in clip order. Yields one result dict (or None) per clip.
+        """
+        from collections import deque
+
+        inflight: deque = deque()
+        for clip in clips:
+            inflight.append(self.dispatch_clip(clip))
+            while len(inflight) > depth:
+                yield self.collect_clip(inflight.popleft())
+        while inflight:
+            yield self.collect_clip(inflight.popleft())

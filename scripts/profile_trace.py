@@ -15,6 +15,9 @@ def main():
     ap.add_argument("--flow", action="store_true", help="include RAFT flow")
     ap.add_argument("--clips", type=int, default=5)
     ap.add_argument("--max_person", type=int, default=8)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="measure process_stream throughput (no per-stage "
+                         "breakdown — stage syncs would serialize it)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +49,20 @@ def main():
     pipe = TracePipeline(tparams, adult, baby, cfg, sc, flow_fn=flow_fn)
     frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
 
-    pipe.process_clip(frames)  # compile
+    # compile BOTH recurrent variants: first clip traces hidden=None,
+    # every later clip the hidden=array graph
+    pipe.process_clip(frames)
+    pipe.process_clip(frames)
+    if args.pipelined:
+        t0 = time.perf_counter()
+        for _ in pipe.process_stream(frames for _ in range(args.clips)):
+            pass
+        total_ms = (time.perf_counter() - t0) / args.clips * 1e3
+        print(json.dumps({"device": str(jax.devices()[0]),
+                          "flow": bool(args.flow), "pipelined": True,
+                          "total_ms_per_clip": round(total_ms, 1),
+                          "fps": round(8 / (total_ms / 1e3), 1)}, indent=1))
+        return
     pipe.profile = True
     stage_runs = []
     totals = []

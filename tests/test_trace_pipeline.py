@@ -126,3 +126,15 @@ def test_trace_pipeline_end_to_end_smoke():
     out2 = pipe.process_clip(frames)
     assert out2 is not None
     assert set(out2["track_ids"]) & set(out1["track_ids"])
+
+    # pipelined stream must be bit-identical to sequential processing:
+    # dispatch_clip only consumes device-side recurrent state, collect_clip
+    # host state in clip order, so overlap cannot change results
+    pipe2 = TracePipeline(params, adult, baby, cfg, SC(**seq_cfg_kwargs))
+    souts = list(pipe2.process_stream([frames, frames]))
+    assert len(souts) == 2
+    for ref, got in ((out1, souts[0]), (out2, souts[1])):
+        assert got is not None
+        for k in ref:
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
