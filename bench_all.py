@@ -101,9 +101,13 @@ def main():
     cfg_mixed = TraceConfig(temp_clip_length=8, max_person=8,
                             conf_thresh=-1e9, compute_dtype="bfloat16",
                             act_dtype="float32", transfer_dtype="float16")
+    flow_fast = make_trace_flow_fn(raft_params, iters=12,
+                                   compute_dtype="bfloat16",
+                                   flow_input_size=256)
     for name, ffn, tcfg in (
             ("trace_clip8", flow_fn, cfg),
             ("trace_clip8_mixed", flow_fn, cfg_mixed),
+            ("trace_clip8_fastflow", flow_fast, cfg),
             ("trace_clip8_zeroflow", None, cfg)):
         pipe = TracePipeline(tparams, adult, baby, tcfg, sc, flow_fn=ffn)
         pipe.process_clip(frames)          # compile
@@ -121,6 +125,8 @@ def main():
                 if ffn else "flow disabled")
         if tcfg.act_dtype == "bfloat16":
             note += "; bf16-act fast path (opt-in)"
+        if ffn is flow_fast:
+            note += "; half-res bf16 RAFT (--flow_size 256, opt-in)"
         results.append({"model": name, "batch": 8,
                         "img_s": round(8 / t, 1),
                         "p50_clip_ms": round(t * 1e3, 1),

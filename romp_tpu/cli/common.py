@@ -52,6 +52,20 @@ def add_common_flags(parser: argparse.ArgumentParser, tool: str):
                         help="dtype per-vertex outputs are fetched in; "
                              "float16 halves the device->host transfer "
                              "(sub-mm quantization)")
+    # live result streaming (reference: webcam_blender.sh ->
+    # romp/lib/visualization/socket_utils.py Results_sender): any client
+    # (e.g. the Blender addon, `python -m romp_tpu.vis.socket_server`)
+    # receives per-frame SMPL params over TCP.
+    parser.add_argument("--fetch_person", type=int, default=0,
+                        help="fetch only the top-N most-confident person "
+                             "slots from the device (0 = all max_person "
+                             "slots). The batch-1 result download scales "
+                             "with the slot count; 8 cuts it 8x on "
+                             "remote/tunneled devices")
+    parser.add_argument("--socket_stream", action="store_true",
+                        help="broadcast per-frame SMPL results over TCP "
+                             "(Blender live-mocap / remote vis clients)")
+    parser.add_argument("--socket_port", type=int, default=9999)
 
 
 def load_checkpoint_flexible(path: str, init_fn) -> Dict[str, "np.ndarray"]:

@@ -60,6 +60,7 @@ class ROMP:
             compute_dtype=settings.compute_dtype,
             calc_smpl=settings.calc_smpl,
             transfer_dtype=getattr(settings, "transfer_dtype", "float32"),
+            fetch_slots=getattr(settings, "fetch_person", 0),
         )
         self.pipeline = RompPipeline(params, SmplModel.from_assets(assets),
                                      cfg)

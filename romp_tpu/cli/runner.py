@@ -12,6 +12,31 @@ import numpy as np
 
 
 def run_tool(model, settings) -> int:
+    """Dispatch the mode loop, optionally wrapping the model so every
+    frame's results are also broadcast to TCP clients (the reference's
+    webcam→Blender live-mocap flow, `scripts/webcam_blender.sh`)."""
+    server = None
+    if getattr(settings, "socket_stream", False):
+        from romp_tpu.vis.socket_server import ResultsServer
+
+        server = ResultsServer(port=settings.socket_port)
+        print(f"streaming SMPL results on tcp://127.0.0.1:{server.port}")
+        inner, frame_ids = model, iter(range(1 << 31))
+
+        def model(frame):  # noqa: F811 — deliberate wrap
+            out = inner(frame)
+            if out is not None:
+                server.broadcast(out, frame_id=next(frame_ids))
+            return out
+
+    try:
+        return _run_modes(model, settings)
+    finally:
+        if server is not None:
+            server.close()
+
+
+def _run_modes(model, settings) -> int:
     try:
         import cv2
     except ImportError:

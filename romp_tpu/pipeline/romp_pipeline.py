@@ -46,6 +46,14 @@ class RompConfig:
     # returned in. float16 halves the dominant host<-device fetch in the
     # batch-1 CLI/webcam path (sub-mm quantization); float32 = exact.
     transfer_dtype: str = "float32"
+    # When >0 and < max_person: sort the K person slots by
+    # (validity, confidence) on device and return only the top fetch_slots.
+    # The host<-device result transfer scales with K x 6890 verts, so a
+    # webcam frame with 2 people pays for all 64 slots otherwise; 8 slots
+    # cut the dominant fetch 8x. People beyond fetch_slots (rare in the
+    # interactive path; crowd images use the BEV crowd pipeline) are
+    # dropped, most-confident kept.
+    fetch_slots: int = 0
 
 
 def unpack_params(params_pred: jax.Array, cam_scale_base: float) -> Dict[str, jax.Array]:
@@ -101,6 +109,8 @@ def romp_inference(params: Dict[str, jax.Array], smpl: SmplModel,
     })
 
     if not cfg.calc_smpl:
+        if 0 < cfg.fetch_slots < K:
+            out = compact_slots(out, cfg.fetch_slots)
         return out
 
     flat = lambda a: a.reshape(B * K, *a.shape[2:])
@@ -134,7 +144,22 @@ def romp_inference(params: Dict[str, jax.Array], smpl: SmplModel,
         "verts_camed": tcast(unflat(verts_camed)),
         "cam_trans": unflat(cam_trans),
     })
+    if 0 < cfg.fetch_slots < K:
+        out = compact_slots(out, cfg.fetch_slots)
     return out
+
+
+def compact_slots(out: Dict[str, jax.Array], n: int) -> Dict[str, jax.Array]:
+    """Reorder the K person slots by (validity, confidence) descending and
+    keep the first n — shrinks every (B, K, ...) output before the host
+    fetch. Pure gather; stays inside the jitted graph."""
+    key = out["center_confs"] + jnp.where(out["mask"], 1.0e4, 0.0)
+    order = jnp.argsort(-key, axis=1)[:, :n]            # (B, n)
+    res = {}
+    for k, v in out.items():
+        idx = order.reshape(order.shape + (1,) * (v.ndim - 2))
+        res[k] = jnp.take_along_axis(v, idx.astype(jnp.int32), axis=1)
+    return res
 
 
 def project_to_org_image(out: Dict[str, jax.Array], pad_info: jax.Array,

@@ -225,14 +225,19 @@ class TracePipeline:
         self.reset()
 
     def _tick(self, name: str, t0: float, sync=None) -> float:
-        """Record a stage duration; `sync` forces a device fetch so the
-        timing is real on async/remote backends."""
+        """Record a stage duration; `sync` forces a device barrier so the
+        timing is real on async/remote backends. The barrier is a 4-byte
+        checksum fetch, NOT a fetch of the synced tensor itself — fetching
+        a full feature-map buffer over a tunneled device costs seconds and
+        would swamp the stage being measured."""
         import time as _time
 
         if not self.profile:
             return 0.0
         if sync is not None:
-            np.asarray(sync)
+            leaf = jax.tree_util.tree_leaves(sync)[0]
+            if hasattr(leaf, "astype"):
+                float(jnp.sum(leaf.astype(jnp.float32)))
         t1 = _time.perf_counter()
         self.stage_times[name] = self.stage_times.get(name, 0.0) + t1 - t0
         return t1

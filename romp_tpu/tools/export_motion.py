@@ -148,3 +148,46 @@ def export_fbx(poses: np.ndarray, trans: Optional[np.ndarray],
     bpy.ops.import_anim.bvh(filepath=alt)
     bpy.ops.export_scene.fbx(filepath=save_path)
     return save_path
+
+
+def main(argv=None):
+    """CLI counterpart of `simple_romp/tools/convert2fbx.py` /
+    `scripts/export_fbx.sh`: video_results.npz -> one BVH (or FBX when bpy
+    is installed) per track."""
+    import argparse
+    import os.path as osp
+
+    ap = argparse.ArgumentParser(
+        description="export romp_tpu motion results to BVH/FBX")
+    ap.add_argument("-i", "--input", required=True,
+                    help="video_results.npz from a video/webcam run")
+    ap.add_argument("-o", "--out_dir", required=True)
+    ap.add_argument("--format", choices=["bvh", "fbx"], default="bvh")
+    ap.add_argument("--frame_rate", type=float, default=30.0)
+    args = ap.parse_args(argv)
+
+    paths = export_sequence_results(args.input, args.out_dir,
+                                    frame_rate=args.frame_rate)
+    if args.format == "fbx":
+        data = np.load(args.input, allow_pickle=True)
+        seqs = data["sequence_results"][()]
+        out = []
+        for tid, seq in seqs.items():
+            try:
+                out.append(export_fbx(
+                    np.asarray(seq["smpl_thetas"]),
+                    np.asarray(seq["cam_trans"])
+                    if "cam_trans" in seq else None,
+                    osp.join(args.out_dir, f"track_{tid}.fbx"),
+                    frame_rate=args.frame_rate))
+            except ImportError as e:
+                print(e)
+                break
+        paths = out or paths
+    for p in paths:
+        print(p)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -110,3 +110,50 @@ class ResultsClient:
 
     def close(self):
         self._conn.close()
+
+
+def main(argv=None):
+    """Headless viewer client (counterpart of the reference's
+    `vis_platform/vis_server.py` + `scripts/launch_vis_server.sh`, which
+    opened an Open3D window): connects to a streaming CLI
+    (`romp ... --socket_stream`), prints a per-frame summary, and can dump
+    the received sequence to an npz for offline viewing with
+    `vis/world_view.py`."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="romp_tpu results viewer client")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9999)
+    ap.add_argument("--frames", type=int, default=0,
+                    help="stop after N frames (0 = until the stream closes)")
+    ap.add_argument("--save", default=None,
+                    help="write received frames to this .npz")
+    args = ap.parse_args(argv)
+
+    cli = ResultsClient(host=args.host, port=args.port, timeout=60.0)
+    frames = []
+    try:
+        n = 0
+        while args.frames <= 0 or n < args.frames:
+            msg = cli.receive()
+            if msg is None:
+                break
+            n += 1
+            n_people = len(msg.get("poses", []))
+            ids = msg.get("track_ids")
+            print(f"frame {msg.get('frame_id', n)}: {n_people} people"
+                  + (f" ids={ids}" if ids is not None else ""))
+            if args.save:
+                frames.append(msg)
+    finally:
+        cli.close()
+    if args.save and frames:
+        packed = {f"frame_{i:06d}": json.dumps(m) for i, m in
+                  enumerate(frames)}
+        np.savez_compressed(args.save, **packed)
+        print(f"saved {len(frames)} frames to {args.save}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

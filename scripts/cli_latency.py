@@ -21,37 +21,55 @@ def measure_split(model, frame, iters=20):
     import jax
     import jax.numpy as jnp
 
+    med = lambda ts: float(np.median(ts)) * 1e3
+
     # 1. bare tunnel RTT: trivial dispatch + 4-byte fetch
     one = jax.device_put(np.float32(1.0))
     tiny = jax.jit(lambda a: a + 1.0)
     float(tiny(one))
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         float(tiny(one))
-    rtt = (time.perf_counter() - t0) / iters * 1e3
+        ts.append(time.perf_counter() - t0)
+    rtt = med(ts)
 
-    # 2. upload cost of the preprocessed frame
+    # 2. device-only compute: the jitted pipeline on a PRE-UPLOADED frame,
+    # 4-byte checksum fetch as barrier -> loop = device + one RTT
     from romp_tpu.utils.io import img_preprocess
 
     inp, meta = img_preprocess(frame)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dev = jax.device_put(inp)
-        float(jnp.sum(dev[0, 0, 0]))          # settle the transfer
-    upload = (time.perf_counter() - t0) / iters * 1e3 - rtt
-
-    # 3. device dispatch+compute: the jitted pipeline with a 4-byte
-    # checksum fetch as barrier (minus RTT and upload, which it includes)
     img_u8 = np.clip(inp, 0, 255).astype(np.uint8)
-    out = model.pipeline(img_u8)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
-    t0 = time.perf_counter()
+    chk = jax.jit(lambda o: sum(
+        jnp.sum(v.astype(jnp.float32)) for v in
+        jax.tree_util.tree_leaves(o)))
+    img_dev = jax.device_put(img_u8)
+    float(chk(model.pipeline(img_dev)))
+    ts = []
     for _ in range(iters):
-        out = model.pipeline(img_u8)
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]
-                      .astype(jnp.float32)))
-    dev_ms = (time.perf_counter() - t0) / iters * 1e3 - rtt - upload
-    return rtt, max(upload, 0.0), max(dev_ms, 0.0)
+        t0 = time.perf_counter()
+        float(chk(model.pipeline(img_dev)))
+        ts.append(time.perf_counter() - t0)
+    dev_ms = med(ts) - rtt
+
+    # 3. upload: same loop with the host array (re-uploaded each call)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(chk(model.pipeline(img_u8)))
+        ts.append(time.perf_counter() - t0)
+    upload = med(ts) - rtt - dev_ms
+
+    # 4. result download: full device_get of the output dict (the big
+    # verts/joints tensors; scales with the slot count — see --fetch_person)
+    jax.device_get(model.pipeline(img_dev))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.device_get(model.pipeline(img_dev))
+        ts.append(time.perf_counter() - t0)
+    fetch = med(ts) - rtt - dev_ms
+    return rtt, max(upload, 0.0), max(dev_ms, 0.0), max(fetch, 0.0)
 
 
 def main():
@@ -59,12 +77,15 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--split", action="store_true")
+    ap.add_argument("--fetch_person", type=int, default=0,
+                    help="top-N slot compaction before the result fetch")
     args = ap.parse_args()
 
     from romp_tpu.cli.romp import ROMP, romp_settings
 
     settings = romp_settings(
-        ["-m", "webcam", "-o", "/tmp/cli_latency_out"]
+        ["-m", "webcam", "-o", "/tmp/cli_latency_out",
+         "--fetch_person", str(args.fetch_person)]
         + (["--render_mesh"] if args.render else []))
     model = ROMP(settings)
     rng = np.random.RandomState(0)
@@ -85,16 +106,19 @@ def main():
         "render": args.render,
         "device": str(jax.devices()[0])}
     if args.split:
-        rtt, upload, dev_ms = measure_split(model, frame, args.frames)
+        rtt, upload, dev_ms, fetch = measure_split(model, frame, args.frames)
+        rec["fetch_person"] = args.fetch_person
         rec["tunnel_rtt_ms"] = round(rtt, 1)
         rec["upload_ms"] = round(upload, 1)
-        if dev_ms is not None:
-            rec["device_ms"] = round(dev_ms, 1)
-            host = rec["p50_ms"] - rtt - upload - dev_ms
-            rec["host_ms"] = round(max(host, 0.0), 1)
-            # serving floor on a locally attached chip (no tunnel)
-            rec["local_attach_p50_est_ms"] = round(
-                max(dev_ms, 0.0) + max(host, 0.0) + upload, 1)
+        rec["device_ms"] = round(dev_ms, 1)
+        rec["result_fetch_ms"] = round(fetch, 1)
+        host = rec["p50_ms"] - rtt - upload - dev_ms - fetch
+        rec["host_ms"] = round(max(host, 0.0), 1)
+        # serving floor on a locally attached chip: tunnel RTT gone,
+        # upload/fetch ride PCIe instead of the network (≈free at these
+        # sizes), leaving device compute + host post-processing
+        rec["local_attach_p50_est_ms"] = round(
+            max(dev_ms, 0.0) + max(host, 0.0), 1)
     print(json.dumps(rec))
 
 

@@ -67,6 +67,7 @@ def main():
     stage_runs = []
     totals = []
     for _ in range(args.clips):
+        pipe.stage_times = {}          # per-clip snapshot, not cumulative
         t0 = time.perf_counter()
         pipe.process_clip(frames)
         totals.append(time.perf_counter() - t0)

@@ -123,3 +123,113 @@ def test_webcam_mode_with_fake_stream(tmp_path):
     calls.clear()
     assert run_tool(model, S2()) == 0
     assert len(calls) == 3                      # bounded by max_frames
+
+
+def test_webcam_socket_stream(tmp_path):
+    """`--socket_stream`: the mode loop broadcasts every frame's results to
+    a connected TCP client (the Blender live-mocap flow,
+    scripts/webcam_blender.sh)."""
+    import threading
+
+    from romp_tpu.cli.runner import run_tool
+    from romp_tpu.vis.socket_server import ResultsClient, ResultsServer
+
+    # grab a free port by binding a throwaway server first
+    probe = ResultsServer(port=0)
+    port = probe.port
+    probe.close()
+
+    class FakeStream:
+        def __init__(self, n):
+            self.n = n
+            self.stopped = False
+
+        def start(self):
+            return self
+
+        def read(self):
+            if self.n == 0:
+                self.stopped = True
+                return None
+            self.n -= 1
+            return np.zeros((48, 64, 3), np.uint8)
+
+        def stop(self):
+            self.stopped = True
+
+    import time
+
+    def model(frame):
+        return {"smpl_thetas": np.zeros((2, 72), np.float32),
+                "smpl_betas": np.zeros((2, 10), np.float32),
+                "cam_trans": np.ones((2, 3), np.float32),
+                "track_ids": np.array([3, 7], np.int32)}
+
+    class Deferred(FakeStream):
+        """Sleeps before the first frame so the client can connect."""
+
+        def __init__(self):
+            super().__init__(4)
+            self._waited = False
+
+        def read(self):
+            if not self._waited:
+                time.sleep(0.5)
+                self._waited = True
+            return super().read()
+
+    class S:
+        mode = "webcam"
+        show = False
+        webcam_id = 0
+        stream_factory = staticmethod(lambda: Deferred())
+        max_frames = None
+        socket_stream = True
+        socket_port = port
+
+    received = []
+
+    def consume():
+        cli = None
+        for _ in range(50):           # retry until run_tool's server is up
+            try:
+                cli = ResultsClient(port=port, timeout=10.0)
+                break
+            except OSError:
+                time.sleep(0.05)
+        assert cli is not None, "server never came up"
+        while True:
+            msg = cli.receive()
+            if msg is None:
+                break
+            received.append(msg)
+        cli.close()
+
+    t2 = threading.Thread(target=lambda: run_tool(model, S()))
+    t = threading.Thread(target=consume)
+    t2.start()
+    t.start()
+    t2.join(30)
+    t.join(30)
+    assert len(received) == 4
+    assert received[0]["poses"] == [[0.0] * 72, [0.0] * 72]
+    assert received[0]["track_ids"] == [3, 7]
+    assert [m["frame_id"] for m in received] == [0, 1, 2, 3]
+
+
+def test_export_motion_cli(tmp_path):
+    """`python -m romp_tpu.tools.export_motion`: video_results.npz -> BVH
+    per track (reference: tools/convert2fbx.py CLI)."""
+    from romp_tpu.tools.export_motion import main
+
+    seqs = {1: {"smpl_thetas": np.zeros((5, 72), np.float32),
+                "cam_trans": np.zeros((5, 3), np.float32)},
+            2: {"smpl_thetas": np.zeros((3, 72), np.float32)}}
+    npz = str(tmp_path / "video_results.npz")
+    np.savez_compressed(npz, sequence_results=seqs)
+    out = str(tmp_path / "bvh")
+    assert main(["-i", npz, "-o", out, "--frame_rate", "24"]) == 0
+    assert osp.exists(osp.join(out, "track_1.bvh"))
+    assert osp.exists(osp.join(out, "track_2.bvh"))
+    text = open(osp.join(out, "track_1.bvh")).read()
+    assert "HIERARCHY" in text and "Frames: 5" in text

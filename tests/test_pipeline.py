@@ -100,6 +100,34 @@ def test_estimate_translation_invalid_when_few_points():
 
 
 @pytest.mark.slow
+def test_compact_slots_keeps_valid_people():
+    """fetch_slots compaction: top-(validity, conf) slots survive with all
+    tensors consistently reordered; invalid slots are dropped first."""
+    from romp_tpu.pipeline.romp_pipeline import compact_slots
+
+    rng = np.random.RandomState(3)
+    B, K, n = 2, 8, 3
+    mask = np.zeros((B, K), bool)
+    mask[0, [1, 6]] = True           # 2 valid people in image 0
+    mask[1, [0, 2, 4, 7]] = True     # 4 valid in image 1 (one dropped)
+    confs = rng.rand(B, K).astype(np.float32)
+    verts = rng.randn(B, K, 10, 3).astype(np.float32)
+    out = {"mask": jnp.asarray(mask), "center_confs": jnp.asarray(confs),
+           "verts": jnp.asarray(verts)}
+    res = jax.jit(lambda o: compact_slots(o, n))(out)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    assert res["mask"].shape == (B, n)
+    # image 0: both valid slots kept, ordered by conf desc, then invalids
+    v0 = sorted([1, 6], key=lambda k: -confs[0, k])
+    assert res["mask"][0].tolist() == [True, True, False]
+    np.testing.assert_array_equal(res["verts"][0, :2], verts[0, v0])
+    np.testing.assert_array_equal(res["center_confs"][0, :2], confs[0, v0])
+    # image 1: top-3 most confident of the 4 valid
+    v1 = sorted([0, 2, 4, 7], key=lambda k: -confs[1, k])[:3]
+    assert res["mask"][1].all()
+    np.testing.assert_array_equal(res["verts"][1], verts[1, v1])
+
+
 def test_romp_pipeline_end_to_end_parity(tmp_path):
     """Full pipeline vs the reference flow (net -> parse -> SMPL -> proj)."""
     torch.manual_seed(0)
