@@ -44,7 +44,8 @@ def main():
     smpl = SmplModel.from_assets(synthetic_assets(seed=0))
     for backbone, batch, act in (("hrnet32", 512, "float32"),
                                  ("hrnet32", 512, "bfloat16"),
-                                 ("resnet50", 256, "float32")):
+                                 ("resnet50", 256, "float32"),
+                                 ("resnet50", 256, "bfloat16")):
         params = init_romp_params(jax.random.PRNGKey(0), backbone=backbone)
         cfg = RompConfig(max_person=8, compute_dtype="bfloat16",
                          act_dtype=act, backbone=backbone)
@@ -66,18 +67,20 @@ def main():
     adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
     baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
     params = init_bev_params(jax.random.PRNGKey(0))
-    cfg = BevConfig(max_person=8, compute_dtype="bfloat16",
-                    act_dtype="float32")
     batch = 128
     images = jnp.asarray(
         rng.rand(batch, 512, 512, 3).astype(np.float32) * 255.0)
-    f = jax.jit(lambda p, im: checksum(
-        bev_inference(p, adult, baby, im, cfg)))
-    t = _measure(lambda: float(f(params, images)))
-    results.append({"model": "bev_hrnet32", "batch": batch,
-                    "img_s": round(batch / t, 1),
-                    "p50_batch_ms": round(t * 1e3, 1)})
-    print(json.dumps(results[-1]), flush=True)
+    for act in ("float32", "bfloat16"):
+        cfg = BevConfig(max_person=8, compute_dtype="bfloat16",
+                        act_dtype=act)
+        f = jax.jit(lambda p, im, cfg=cfg: checksum(
+            bev_inference(p, adult, baby, im, cfg)))
+        t = _measure(lambda: float(f(params, images)))
+        tag = "_bf16act" if act == "bfloat16" else ""
+        results.append({"model": f"bev_hrnet32{tag}", "batch": batch,
+                        "img_s": round(batch / t, 1),
+                        "p50_batch_ms": round(t * 1e3, 1)})
+        print(json.dumps(results[-1]), flush=True)
 
     # ---- TRACE (full clip pipeline incl. host tracking) ----
     from romp_tpu.models.romp import init_romp_params as _irp
