@@ -99,7 +99,12 @@ def main():
     sc = SeqConfig(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
                    tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
     raft_params = init_raft_params(jax.random.PRNGKey(2))
-    flow_fn = make_trace_flow_fn(raft_params, iters=12)  # fast path; CLI default = 20 (reference parity)
+    # CLI-default parity flow: 20 iterations (reference FlowExtract,
+    # trace2/models/raft/process.py:24) in bfloat16 — the reference itself
+    # runs RAFT's encoders/update block under fp16 autocast with an f32
+    # correlation volume (raft.py:93-104), which is exactly this mode.
+    flow_fn = make_trace_flow_fn(raft_params, iters=20,
+                                 compute_dtype="bfloat16")
     frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
     cfg_mixed = TraceConfig(temp_clip_length=8, max_person=8,
                             conf_thresh=-1e9, compute_dtype="bfloat16",
@@ -124,8 +129,9 @@ def main():
                 pass
 
         t = _measure(run_stream, iters=3, warmup=1) / n_stream
-        note = ("pipelined stream incl. RAFT flow + host tracking"
-                if ffn else "flow disabled")
+        note = ("pipelined stream incl. RAFT flow (20 it, bf16 = reference "
+                "autocast parity) + host tracking" if ffn else
+                "flow disabled")
         if tcfg.act_dtype == "bfloat16":
             note += "; bf16-act fast path (opt-in)"
         if ffn is flow_fast:

@@ -36,9 +36,15 @@ def trace_settings(input_args=None):
     parser.add_argument("--flow_size", type=int, default=512,
                         help="RAFT input resolution (512 = reference "
                              "parity; 256 runs flow ~3x faster)")
-    parser.add_argument("--flow_dtype", type=str, default="float32",
+    parser.add_argument("--flow_dtype", type=str, default="bfloat16",
                         choices=("float32", "bfloat16"),
-                        help="RAFT compute dtype (bfloat16 = fast path)")
+                        help="RAFT compute dtype. bfloat16 is the parity "
+                             "default: the reference runs RAFT's encoders "
+                             "and update block under fp16 autocast "
+                             "(trace2/models/raft/raft.py:93,104,121) with "
+                             "the correlation volume in f32 — which is "
+                             "exactly this mode (bf16 convs, f32-accumulated "
+                             "correlation). float32 = full-precision flow.")
     args = parser.parse_args(input_args)
     args.calc_smpl = True
     return args

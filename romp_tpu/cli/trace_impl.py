@@ -90,7 +90,7 @@ def run_trace(settings) -> int:
         raft_params = {k: jnp.asarray(v) for k, v in raft_params.items()}
         flow_fn = make_trace_flow_fn(
             raft_params, iters=getattr(settings, "raft_iters", 20),
-            compute_dtype=getattr(settings, "flow_dtype", "float32"),
+            compute_dtype=getattr(settings, "flow_dtype", "bfloat16"),
             flow_input_size=getattr(settings, "flow_size", 512))
     else:
         print("RAFT weights not found; running TRACE with zero optical flow",

@@ -77,6 +77,8 @@ class TrainConfigFull:
     tensorboard: bool = True             # event files under ckpt_dir/tb
     fine_tune: bool = False
     resume: Optional[str] = None
+    num_workers: int = 0                 # batch-assembly worker threads
+    prefetch_batches: int = 4            # bounded host-side batch queue
 
 
 @dataclasses.dataclass

@@ -1,0 +1,345 @@
+"""Production serving front-end: micro-batched ROMP inference over TCP.
+
+The reference's closest capability is the single-stream webcam loop
+(`simple_romp/romp/main.py:178-204`); this module is the TPU-native serving
+runtime around the same jitted graph:
+
+- **Micro-batching**: concurrent requests are coalesced into one device
+  batch (padded to a small set of compiled batch sizes, so shapes stay
+  static and the compile count is bounded). A lone request ships after
+  `window_ms`; a burst fills the batch immediately. Batching is what keeps
+  the MXU fed — batch-1 inference on a big chip is RTT/dispatch-bound.
+- **Double-buffering**: dispatch and result-fetch run on separate threads,
+  so the device computes batch k+1 while batch k's results cross the
+  host link (each fetch is a full round trip on a remote-tunneled TPU).
+- **Transport**: length-prefixed JSON header + raw image bytes in, npz
+  bytes out. Dependency-free; a client fits in ~20 lines (see
+  `InferenceClient`).
+
+Usage:
+    python -m romp_tpu.serve --port 8011 [--model_path ... --smpl_path ...]
+    # client:
+    from romp_tpu.serve import InferenceClient
+    res = InferenceClient("127.0.0.1", 8011).infer(bgr_image)
+"""
+from __future__ import annotations
+
+import io
+import json
+import queue
+import socket
+import socketserver
+import struct
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _pad_sizes(max_batch: int) -> List[int]:
+    """Compiled batch sizes: 1, 2, 4, ... max_batch (one XLA program each)."""
+    sizes = []
+    b = 1
+    while b < max_batch:
+        sizes.append(b)
+        b *= 2
+    sizes.append(max_batch)
+    return sizes
+
+
+class MicroBatcher:
+    """Coalesces single-item requests into device batches.
+
+    run_batch: (images (B, S, S, 3) uint8) -> handle     [async dispatch]
+    fetch:     handle -> dict of np arrays, leading (B,)  [blocking]
+
+    Two stages so the device computes the next batch while the previous
+    batch's results are in flight back to the host.
+    """
+
+    def __init__(self, run_batch: Callable, fetch: Callable,
+                 max_batch: int = 8, window_ms: float = 2.0,
+                 input_size: int = 512):
+        self.run_batch = run_batch
+        self.fetch = fetch
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self.input_size = input_size
+        self.sizes = _pad_sizes(max_batch)
+        self._q: "queue.Queue" = queue.Queue()
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
+        self._stop = threading.Event()
+        self.batches_run = 0
+        self.items_run = 0
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._collector = threading.Thread(target=self._collect_loop,
+                                           daemon=True)
+        self._dispatcher.start()
+        self._collector.start()
+
+    def submit(self, image: np.ndarray) -> "Future":
+        """image: (S, S, 3) uint8, already preprocessed to the model size."""
+        fut: Future = Future()
+        self._q.put((image, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)          # wake dispatcher
+        self._dispatcher.join(timeout=5)
+        self._inflight.put(None)   # wake collector
+        self._collector.join(timeout=5)
+
+    # ---- internals ----
+    def _take_batch(self) -> Optional[List]:
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.window_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                return batch   # close() during fill: run what we have
+            batch.append(item)
+        return batch
+
+    def _dispatch_loop(self):
+        S = self.input_size
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if batch is None:
+                break
+            n = len(batch)
+            padded = next(s for s in self.sizes if s >= n)
+            images = np.zeros((padded, S, S, 3), np.uint8)
+            for i, (img, _) in enumerate(batch):
+                images[i] = img
+            try:
+                handle = self.run_batch(images)
+            except Exception as exc:   # compile/dispatch failure
+                for _, fut in batch:
+                    fut.set_exception(exc)
+                continue
+            self.batches_run += 1
+            self.items_run += n
+            self._inflight.put((handle, batch))
+
+    def _collect_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                break
+            handle, batch = item
+            try:
+                out = self.fetch(handle)
+            except Exception as exc:
+                for _, fut in batch:
+                    fut.set_exception(exc)
+                continue
+            for i, (_, fut) in enumerate(batch):
+                fut.set_result({k: v[i] for k, v in out.items()})
+
+
+def make_romp_service(params, smpl, cfg, max_batch: int = 8,
+                      window_ms: float = 2.0) -> MicroBatcher:
+    """MicroBatcher over the jitted ROMP graph (romp_pipeline.romp_inference).
+
+    The service expects preprocessed (S, S, 3) uint8 RGB inputs (the square
+    pad/resize runs on the caller's connection thread, so image decode and
+    preprocessing parallelize across clients while the device stays on
+    dense batches).
+    """
+    import jax
+
+    from romp_tpu.pipeline.romp_pipeline import _jitted_inference
+
+    def run_batch(images: np.ndarray):
+        return _jitted_inference(params, smpl, images, cfg)
+
+    def fetch(handle):
+        return jax.device_get(handle)
+
+    return MicroBatcher(run_batch, fetch, max_batch=max_batch,
+                        window_ms=window_ms, input_size=cfg.input_size)
+
+
+# ---------------------------------------------------------------- transport
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _send_msg(sock: socket.socket, header: Dict, payload: bytes = b""):
+    h = json.dumps(header).encode()
+    sock.sendall(struct.pack(">II", len(h), len(payload)) + h + payload)
+
+
+def _recv_msg(sock: socket.socket):
+    hlen, plen = struct.unpack(">II", _read_exact(sock, 8))
+    header = json.loads(_read_exact(sock, hlen))
+    payload = _read_exact(sock, plen) if plen else b""
+    return header, payload
+
+
+class InferenceServer:
+    """Threaded TCP server wrapping a MicroBatcher.
+
+    Request : header {"shape": [H, W, 3], "dtype": "uint8"} + raw bytes
+              (a BGR image of any size — preprocessing runs server-side on
+              the connection thread).
+    Response: header {"ok": true, "npz_bytes": N} + npz payload of the
+              valid-person results (mask-filtered, pj2d_org/verts mapped to
+              the original image frame), or {"ok": false, "error": ...}.
+    """
+
+    def __init__(self, batcher: MicroBatcher, host: str = "127.0.0.1",
+                 port: int = 0, faces: Optional[np.ndarray] = None):
+        self.batcher = batcher
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    while True:
+                        header, payload = _recv_msg(self.request)
+                        t0 = time.perf_counter()
+                        try:
+                            result = outer._infer(header, payload)
+                            bio = io.BytesIO()
+                            np.savez(bio, **result)
+                            out = bio.getvalue()
+                            _send_msg(self.request,
+                                      {"ok": True,
+                                       "latency_ms": round(
+                                           (time.perf_counter() - t0) * 1e3,
+                                           2)},
+                                      out)
+                        except Exception as exc:  # noqa: BLE001 — to client
+                            _send_msg(self.request,
+                                      {"ok": False, "error": str(exc)})
+                except (ConnectionError, OSError):
+                    pass
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def _infer(self, header: Dict, payload: bytes) -> Dict[str, np.ndarray]:
+        from romp_tpu.pipeline.video import filter_valid
+        from romp_tpu.ops.projection import convert_to_org_image_coords_np
+        from romp_tpu.utils.io import img_preprocess
+
+        shape = tuple(header["shape"])
+        img = np.frombuffer(payload, np.uint8).reshape(shape)
+        image, pad_info = img_preprocess(
+            img, input_size=self.batcher.input_size)
+        image = np.clip(image[0], 0, 255).astype(np.uint8)
+        res = self.batcher.submit(image).result(timeout=120)
+        res = {k: np.asarray(v, np.float32) if v.dtype == np.float16 else v
+               for k, v in res.items()}
+        # batcher results are per-image (K, ...); filter_valid wants (B, K)
+        res = filter_valid({k: v[None] for k, v in res.items()})
+        if "pj2d" in res:
+            res["pj2d_org"] = convert_to_org_image_coords_np(
+                res["pj2d"], pad_info)
+        if "verts_camed" in res:
+            res["verts_camed_org"] = convert_to_org_image_coords_np(
+                res["verts_camed"], pad_info)
+        return res
+
+    def close(self):
+        self._server.shutdown()
+        self._server.server_close()
+        self.batcher.close()
+
+
+class InferenceClient:
+    """Minimal blocking client for InferenceServer."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8011):
+        self._sock = socket.create_connection((host, port))
+
+    def infer(self, bgr_image: np.ndarray) -> Dict[str, np.ndarray]:
+        img = np.ascontiguousarray(bgr_image, np.uint8)
+        _send_msg(self._sock, {"shape": list(img.shape), "dtype": "uint8"},
+                  img.tobytes())
+        header, payload = _recv_msg(self._sock)
+        if not header.get("ok"):
+            raise RuntimeError(header.get("error", "inference failed"))
+        data = np.load(io.BytesIO(payload))
+        return {k: data[k] for k in data.files}
+
+    def close(self):
+        self._sock.close()
+
+
+def main(input_args=None):
+    import argparse
+
+    from romp_tpu.cli.common import (
+        DEFAULT_HOME, load_checkpoint_flexible, load_smpl_assets_flexible,
+    )
+    from romp_tpu.models.romp import init_romp_params
+    from romp_tpu.pipeline.romp_pipeline import RompConfig
+    from romp_tpu.smpl.body_model import SmplModel
+    import os.path as osp
+
+    ap = argparse.ArgumentParser("romp_tpu.serve")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8011)
+    ap.add_argument("--model_path", default=osp.join(DEFAULT_HOME,
+                                                     "ROMP.pkl"))
+    ap.add_argument("--smpl_path", default=osp.join(DEFAULT_HOME,
+                                                    "SMPL_NEUTRAL.pth"))
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--window_ms", type=float, default=2.0)
+    ap.add_argument("--fetch_person", type=int, default=8,
+                    help="top-K person slots fetched per image (0 = all)")
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--act_dtype", default="float32")
+    args = ap.parse_args(input_args)
+
+    params = load_checkpoint_flexible(args.model_path, init_romp_params)
+    assets = load_smpl_assets_flexible(args.smpl_path, num_betas=10)
+    cfg = RompConfig(compute_dtype=args.compute_dtype,
+                     act_dtype=args.act_dtype,
+                     transfer_dtype="float16",
+                     fetch_slots=args.fetch_person)
+    batcher = make_romp_service(params, SmplModel.from_assets(assets), cfg,
+                                max_batch=args.max_batch,
+                                window_ms=args.window_ms)
+    server = InferenceServer(batcher, host=args.host, port=args.port)
+    print(f"serving ROMP on tcp://{args.host}:{server.port} "
+          f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -198,9 +198,23 @@ def main(input_args=None) -> int:
     smpl = SmplModel.from_assets(assets)
     mixed = build_datasets(cfg)
     trainer = Trainer(cfg, smpl)
-    metrics = trainer.fit(
-        batch_iterator(mixed, cfg.train.batch_size, seed=cfg.train.seed),
-        max_steps=args.max_steps)
+    if cfg.train.num_workers > 0:
+        # batch assembly on worker threads, overlapped with device steps
+        from romp_tpu.train.data.loader import PrefetchLoader
+
+        batches = PrefetchLoader(
+            lambda seed: batch_iterator(mixed, cfg.train.batch_size,
+                                        seed=seed),
+            num_workers=cfg.train.num_workers,
+            prefetch=cfg.train.prefetch_batches, seed=cfg.train.seed)
+    else:
+        batches = batch_iterator(mixed, cfg.train.batch_size,
+                                 seed=cfg.train.seed)
+    try:
+        metrics = trainer.fit(batches, max_steps=args.max_steps)
+    finally:
+        if hasattr(batches, "close"):
+            batches.close()
     print(f"finished: {metrics}")
     return 0
 

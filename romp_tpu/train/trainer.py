@@ -111,6 +111,18 @@ class Trainer:
         self._step = jax.jit(
             lambda s, b: train_step(s, b, self.smpl, self.tcfg, self.prior),
             donate_argnums=(0,))
+        # Pipelined variant: metrics leave the step as ONE packed f32 vector
+        # so the host pays a single fetch (each device->host fetch is a full
+        # network round trip on a remote-tunneled TPU; a dict of ~15 scalars
+        # fetched one float() at a time serializes ~15 RTTs per step).
+        self._metric_names = None
+
+        def _step_packed(s, b):
+            s2, m = train_step(s, b, self.smpl, self.tcfg, self.prior)
+            names = tuple(sorted(m))
+            return s2, jnp.stack([m[k].astype(jnp.float32) for k in names])
+
+        self._step_packed = jax.jit(_step_packed, donate_argnums=(0,))
         self.best_val = float("inf")
         os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
         self._log_path = osp.join(cfg.train.checkpoint_dir, "train_log.jsonl")
@@ -143,36 +155,40 @@ class Trainer:
 
     def fit(self, batches: Iterator[Dict], max_steps: Optional[int] = None
             ) -> Dict[str, float]:
+        """Pipelined train loop: the device computes step k while the host
+        uploads batch k+1 and consumes step k-1's metrics.
+
+        Dispatching a step is async under jit; only the metrics fetch
+        blocks. By consuming metrics ONE STEP LATE, the fetch lands after
+        the next step has already been enqueued, so the device never idles
+        waiting on host logging (on a remote-tunneled TPU the old
+        fetch-every-scalar loop cost ~15 RTTs of dead time per step).
+        Correctness is unchanged: non-finite updates are rejected ON DEVICE
+        (optax.apply_if_finite, the reference's NaN skip
+        `romp/train.py:45-46`); the host merely logs them a step later.
+        """
         cfg = self.cfg.train
         running: Dict[str, float] = {}
         n_skipped = 0
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
+        step0: Optional[int] = None
+        n_done = 0
 
-        for i, batch in enumerate(batches):
-            if max_steps is not None and i >= max_steps:
-                break
-            batch = shard_batch(batch, self.mesh, self.cfg.mesh.data_axis)
-            new_state, metrics = self._step(self.state, batch)
-            total = float(metrics["total"])
-            if (not np.isfinite(total)
-                    or float(metrics.get("grads_finite", 1.0)) < 0.5):
-                # NaN skip (reference `romp/train.py:45-46`). The update was
-                # already rejected ON DEVICE (optax.apply_if_finite keeps
-                # params/BN untouched on a non-finite step); here we just
-                # count and log it.
+        def consume(packed, step: int) -> None:
+            nonlocal n_skipped, last_metrics
+            vals = np.asarray(packed)          # ONE fetch for all metrics
+            m = dict(zip(self._metric_names, vals.tolist()))
+            if (not np.isfinite(m["total"])
+                    or m.get("grads_finite", 1.0) < 0.5):
                 n_skipped += 1
-                self._log({"step": i, "event": "nan_skip"})
-                self.state = new_state
-                continue
-            self.state = new_state
-            last_metrics = {k: float(v) for k, v in metrics.items()}
-            for k, v in last_metrics.items():
+                self._log({"step": step, "event": "nan_skip"})
+                return
+            last_metrics = m
+            for k, v in m.items():
                 running[k] = 0.9 * running.get(k, v) + 0.1 * v
-
-            step = int(self.state.step)
             if step % cfg.log_every == 0:
-                rate = (i + 1) / (time.time() - t0)
+                rate = n_done / (time.time() - t0)
                 self._log({"step": step, "loss": running.get("total"),
                            "steps_per_sec": round(rate, 3), **running})
             if cfg.test_interval and step % cfg.test_interval == 0 \
@@ -184,6 +200,40 @@ class Trainer:
                     self.best_val = key
                     save_train_state(
                         osp.join(cfg.checkpoint_dir, "best.npz"), self.state)
+
+        pending = None                          # (packed_metrics, step)
+        for i, batch in enumerate(batches):
+            if max_steps is not None and i >= max_steps:
+                break
+            if step0 is None:
+                # one-time: metric names from an abstract trace (no compile,
+                # no device work) + the starting step counter (host mirror:
+                # state.step increments unconditionally every step).
+                step0 = int(self.state.step)
+                if self._metric_names is None:
+                    _, mshape = jax.eval_shape(
+                        lambda s, b: train_step(s, b, self.smpl, self.tcfg,
+                                                self.prior),
+                        self.state, batch)
+                    self._metric_names = tuple(sorted(mshape))
+            batch = shard_batch(batch, self.mesh, self.cfg.mesh.data_axis)
+            new_state, packed = self._step_packed(self.state, batch)
+            self.state = new_state
+            n_done += 1
+            step = step0 + n_done
+            if pending is not None:
+                consume(*pending)
+                pending = None
+            if (cfg.test_interval and step % cfg.test_interval == 0
+                    and self.eval_fn is not None):
+                # eval-due step: synchronize NOW so eval_fn sees the state
+                # exactly at `step` (pipelining would hand it a state one
+                # step newer).
+                consume(packed, step)
+            else:
+                pending = (packed, step)
+        if pending is not None:
+            consume(*pending)
 
         save_train_state(osp.join(cfg.checkpoint_dir, "last.npz"), self.state)
         last_metrics["skipped"] = n_skipped

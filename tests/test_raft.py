@@ -83,3 +83,28 @@ def test_flow_fn_half_res_units():
     s_full = np.abs(f_full).mean()
     s_half = np.abs(f_half).mean()
     assert s_half < 50 * s_full + 1e-3 and s_full < 50 * s_half + 1e-3
+
+
+def test_flow_fn_bf16_default_mode():
+    """bfloat16 flow (the CLI parity default — the reference runs RAFT
+    under fp16 autocast, raft.py:93-104) produces finite flow on the same
+    magnitude scale as f32."""
+    from romp_tpu.models.raft import make_trace_flow_fn
+
+    params = init_raft_params(jax.random.PRNGKey(0), size=64)
+    rng = np.random.RandomState(0)
+    base = rng.rand(1, 16, 16, 3).astype(np.float32)
+    im1 = np.kron(base, np.ones((1, 8, 8, 1), np.float32)) * 255.0
+    im2 = np.roll(im1, 8, axis=2)
+
+    f32 = make_trace_flow_fn(params, iters=4, out_size=32,
+                             flow_input_size=128)
+    bf16 = make_trace_flow_fn(params, iters=4, out_size=32,
+                              flow_input_size=128,
+                              compute_dtype="bfloat16")
+    a = np.asarray(f32(jnp.asarray(im1), jnp.asarray(im2)))
+    b = np.asarray(bf16(jnp.asarray(im1), jnp.asarray(im2)))
+    assert b.shape == a.shape and b.dtype == np.float32
+    assert np.isfinite(b).all()
+    sa, sb = np.abs(a).mean(), np.abs(b).mean()
+    assert sb < 50 * sa + 1e-3 and sa < 50 * sb + 1e-3

@@ -1,0 +1,155 @@
+"""Serving front-end: micro-batcher semantics + TCP end-to-end."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from romp_tpu.serve import (
+    InferenceClient, InferenceServer, MicroBatcher, _pad_sizes,
+    make_romp_service,
+)
+
+
+def test_pad_sizes():
+    assert _pad_sizes(8) == [1, 2, 4, 8]
+    assert _pad_sizes(6) == [1, 2, 4, 6]
+    assert _pad_sizes(1) == [1]
+
+
+def test_microbatcher_routes_results_and_pads():
+    """Results come back to the right futures; batches are padded to the
+    compiled sizes; padded rows never leak into responses."""
+    seen_batches = []
+
+    def run_batch(images):
+        seen_batches.append(images.shape[0])
+        # "result" = per-image checksum so routing is verifiable
+        return {"sum": images.reshape(images.shape[0], -1).sum(1)}
+
+    mb = MicroBatcher(run_batch, fetch=lambda h: h, max_batch=4,
+                      window_ms=30.0, input_size=8)
+    try:
+        imgs = [np.full((8, 8, 3), i + 1, np.uint8) for i in range(3)]
+        futs = [mb.submit(im) for im in imgs]
+        res = [f.result(timeout=10) for f in futs]
+        for i, r in enumerate(res):
+            assert r["sum"] == (i + 1) * 8 * 8 * 3
+        # 3 requests within one window -> one batch, padded to 4
+        assert mb.batches_run == 1 and seen_batches == [4]
+        assert mb.items_run == 3
+    finally:
+        mb.close()
+
+
+def test_microbatcher_exception_propagates():
+    def run_batch(images):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(run_batch, fetch=lambda h: h, max_batch=2,
+                      window_ms=1.0, input_size=4)
+    try:
+        fut = mb.submit(np.zeros((4, 4, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=10)
+    finally:
+        mb.close()
+
+
+def test_microbatcher_double_buffer_overlap():
+    """While batch k's fetch blocks, batch k+1 must still be dispatched
+    (dispatch and collect run on separate threads)."""
+    dispatched = []
+    release = threading.Event()
+
+    def run_batch(images):
+        dispatched.append(time.perf_counter())
+        return images.shape[0]
+
+    def fetch(handle):
+        release.wait(timeout=10)       # slow fetch (simulated RTT)
+        return {"n": np.arange(handle)}
+
+    mb = MicroBatcher(run_batch, fetch, max_batch=1, window_ms=0.1,
+                      input_size=4)
+    try:
+        f1 = mb.submit(np.zeros((4, 4, 3), np.uint8))
+        f2 = mb.submit(np.zeros((4, 4, 3), np.uint8))
+        deadline = time.time() + 5
+        while len(dispatched) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        # second batch dispatched while the first fetch is still blocked
+        assert len(dispatched) == 2
+        release.set()
+        f1.result(timeout=10), f2.result(timeout=10)
+    finally:
+        mb.close()
+
+
+@pytest.fixture(scope="module")
+def romp_server():
+    from romp_tpu.models.romp import init_romp_params
+    from romp_tpu.pipeline.romp_pipeline import RompConfig
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    size = 64
+    params = init_romp_params(jax.random.PRNGKey(0), input_size=size)
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    cfg = RompConfig(input_size=size, max_person=4, conf_thresh=-1e9,
+                     fetch_slots=2, transfer_dtype="float16")
+    batcher = make_romp_service(params, smpl, cfg, max_batch=4,
+                                window_ms=5.0)
+    server = InferenceServer(batcher)
+    yield server
+    server.close()
+
+
+def test_serve_end_to_end_concurrent_clients(romp_server):
+    """Four concurrent clients with differently-sized images all get valid
+    per-person results mapped back to their own image frames."""
+    results = {}
+    errors = []
+
+    def client(i):
+        try:
+            c = InferenceClient(port=romp_server.port)
+            rng = np.random.RandomState(i)
+            img = (rng.rand(40 + 8 * i, 64, 3) * 255).astype(np.uint8)
+            res = c.infer(img)
+            c.close()
+            results[i] = res
+        except Exception as exc:  # noqa: BLE001 — surfaced via `errors`
+            errors.append(exc)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert set(results) == {0, 1, 2, 3}
+    for res in results.values():
+        # conf_thresh=-inf -> fetch_slots=2 persons survive per image
+        assert res["cam"].shape[0] == 2
+        assert "pj2d_org" in res and np.isfinite(res["pj2d_org"]).all()
+        assert "verts" in res and res["verts"].shape[1:] == (6890, 3)
+    # micro-batching actually happened (4 clients, <=4-slot batches)
+    assert romp_server.batcher.items_run >= 4
+    assert romp_server.batcher.batches_run <= 4
+
+
+def test_serve_error_reporting(romp_server):
+    """A malformed request yields an error response, not a hung socket."""
+    import socket
+
+    from romp_tpu.serve import _recv_msg, _send_msg
+
+    sock = socket.create_connection(("127.0.0.1", romp_server.port))
+    # payload size doesn't match the declared shape -> reshape error
+    _send_msg(sock, {"shape": [10, 10, 3], "dtype": "uint8"}, b"\0" * 50)
+    header, _ = _recv_msg(sock)
+    assert header["ok"] is False and "error" in header
+    sock.close()
