@@ -45,6 +45,13 @@ def trace_settings(input_args=None):
                              "the correlation volume in f32 — which is "
                              "exactly this mode (bf16 convs, f32-accumulated "
                              "correlation). float32 = full-precision flow.")
+    parser.add_argument("--corr_dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="correlation-pyramid storage dtype. The "
+                             "reference keeps the volume f32 even under "
+                             "autocast (raft.py:95-96) so float32 is the "
+                             "parity default; bfloat16 halves the biggest "
+                             "tensor RAFT touches (opt-in, ~3% faster).")
     args = parser.parse_args(input_args)
     args.calc_smpl = True
     return args

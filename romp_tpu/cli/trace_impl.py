@@ -91,7 +91,8 @@ def run_trace(settings) -> int:
         flow_fn = make_trace_flow_fn(
             raft_params, iters=getattr(settings, "raft_iters", 20),
             compute_dtype=getattr(settings, "flow_dtype", "bfloat16"),
-            flow_input_size=getattr(settings, "flow_size", 512))
+            flow_input_size=getattr(settings, "flow_size", 512),
+            corr_dtype=getattr(settings, "corr_dtype", "float32"))
     else:
         print("RAFT weights not found; running TRACE with zero optical flow",
               file=sys.stderr)

@@ -68,23 +68,32 @@ def basic_encoder(store: ParamStore, prefix: str, x: jax.Array,
                   bias=True)
 
 
-def build_corr_pyramid(fmap1: jax.Array, fmap2: jax.Array
-                       ) -> List[jax.Array]:
+def build_corr_pyramid(fmap1: jax.Array, fmap2: jax.Array,
+                       out_dtype=jnp.float32) -> List[jax.Array]:
     """All-pairs correlation + 2x average pools.
 
     fmap*: (B, H, W, C). Returns levels of (B, H*W, H_i, W_i).
+
+    out_dtype: storage dtype of the pyramid. The volume is the biggest
+    tensor RAFT touches (H²W² floats) and every refinement iteration
+    re-reads it through corr_lookup's one-hot matmuls, so bfloat16 halves
+    the dominant HBM traffic AND doubles the lookup's MXU rate. Values are
+    C-normalized correlations (O(1) scale), so bf16's ~0.4% relative
+    rounding is benign; accumulation stays f32 (preferred_element_type).
+    f32 = reference parity (the torch code keeps the volume float,
+    raft.py:95-96, even under autocast).
     """
     B, H, W, C = fmap1.shape
     corr = jnp.einsum("bxc,byc->bxy", fmap1.reshape(B, H * W, C),
                       fmap2.reshape(B, H * W, C),
                       preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.asarray(C, corr.dtype))
-    corr = corr.reshape(B, H * W, H, W)
+    corr = corr.reshape(B, H * W, H, W).astype(out_dtype)
     pyramid = [corr]
     for _ in range(CORR_LEVELS - 1):
         corr = jax.lax.reduce_window(
-            corr, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
-            "VALID") / 4.0
+            corr, jnp.asarray(0.0, out_dtype), jax.lax.add, (1, 1, 2, 2),
+            (1, 1, 2, 2), "VALID") / jnp.asarray(4.0, out_dtype)
         pyramid.append(corr)
     return pyramid
 
@@ -205,7 +214,8 @@ def upsample_flow_convex(flow: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
-                 iters: int = 12) -> Tuple[jax.Array, jax.Array]:
+                 iters: int = 12,
+                 corr_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
     """RGB images (B, H, W, 3) in [0, 255] -> (flow_low, flow_up).
 
     flow_low: (B, H/8, W/8, 2); flow_up: (B, H, W, 2), both (dx, dy).
@@ -214,7 +224,7 @@ def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
     image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
     fmap1 = basic_encoder(store, "fnet", image1, 256, "instance")
     fmap2 = basic_encoder(store, "fnet", image2, 256, "instance")
-    pyramid = build_corr_pyramid(fmap1, fmap2)
+    pyramid = build_corr_pyramid(fmap1, fmap2, out_dtype=corr_dtype)
 
     cnet = basic_encoder(store, "cnet", image1, HDIM + CDIM, "batch")
     net = jnp.tanh(cnet[..., :HDIM])
@@ -259,7 +269,8 @@ def filter_raft_state_dict(params: dict) -> dict:
 def make_trace_flow_fn(raft_params: dict, iters: int = 20,
                        out_size: int = 128,
                        compute_dtype: str = "float32",
-                       flow_input_size: int = 512):
+                       flow_input_size: int = 512,
+                       corr_dtype: str = "float32"):
     """Flow extractor for TRACE, matching the reference FlowExtract
     (`trace2/models/raft/process.py:17-28`): RAFT at full 512 resolution,
     bilinearly resized to 128x128 and divided by 8 (flow-vector units on the
@@ -276,6 +287,7 @@ def make_trace_flow_fn(raft_params: dict, iters: int = 20,
     stays 512.
     """
     dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    cdt = jnp.bfloat16 if corr_dtype == "bfloat16" else jnp.float32
     S = flow_input_size
 
     @jax.jit
@@ -286,7 +298,7 @@ def make_trace_flow_fn(raft_params: dict, iters: int = 20,
                 f.astype(jnp.float32), (f.shape[0], S, S, 3), "bilinear")
             frames_prev, frames_cur = rs(frames_prev), rs(frames_cur)
         _, flow_up = raft_forward(store, frames_prev, frames_cur,
-                                  iters=iters)
+                                  iters=iters, corr_dtype=cdt)
         flow_up = flow_up.astype(jnp.float32)
         flow = jax.image.resize(
             flow_up, (flow_up.shape[0], out_size, out_size, 2), "bilinear")

@@ -308,7 +308,12 @@ class TracePipeline:
             flows = self.flow_fn(frames_prev, frames_dev)
             t0 = self._tick("flow", t0, sync=flows[0, 0, 0, 0])
         else:
-            flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
+            # cached across clips: an eager zeros() is a device round trip
+            # per clip on a tunneled backend
+            if getattr(self, "_zero_flows", None) is None \
+                    or self._zero_flows.shape[0] != T:
+                self._zero_flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
+            flows = self._zero_flows
         self.last_frame = frames_dev[-1:]
 
         maps, self.hidden, det_pack = trace_maps_and_detect(

@@ -38,10 +38,13 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 
-def _pad_sizes(max_batch: int) -> List[int]:
-    """Compiled batch sizes: 1, 2, 4, ... max_batch (one XLA program each)."""
+def _pad_sizes(max_batch: int, multiple: int = 1) -> List[int]:
+    """Compiled batch sizes: multiple, 2x, 4x, ... max_batch (one XLA
+    program each). `multiple` > 1 keeps every size divisible by the mesh's
+    data axis so sharded batches split evenly across chips."""
+    assert max_batch % multiple == 0, (max_batch, multiple)
     sizes = []
-    b = 1
+    b = multiple
     while b < max_batch:
         sizes.append(b)
         b *= 2
@@ -61,13 +64,13 @@ class MicroBatcher:
 
     def __init__(self, run_batch: Callable, fetch: Callable,
                  max_batch: int = 8, window_ms: float = 2.0,
-                 input_size: int = 512):
+                 input_size: int = 512, batch_multiple: int = 1):
         self.run_batch = run_batch
         self.fetch = fetch
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.input_size = input_size
-        self.sizes = _pad_sizes(max_batch)
+        self.sizes = _pad_sizes(max_batch, batch_multiple)
         self._q: "queue.Queue" = queue.Queue()
         self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
@@ -151,26 +154,50 @@ class MicroBatcher:
 
 
 def make_romp_service(params, smpl, cfg, max_batch: int = 8,
-                      window_ms: float = 2.0) -> MicroBatcher:
+                      window_ms: float = 2.0, mesh=None) -> MicroBatcher:
     """MicroBatcher over the jitted ROMP graph (romp_pipeline.romp_inference).
 
     The service expects preprocessed (S, S, 3) uint8 RGB inputs (the square
     pad/resize runs on the caller's connection thread, so image decode and
     preprocessing parallelize across clients while the device stays on
     dense batches).
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — SPMD serving.
+    Parameters are replicated once; each request batch is sharded over the
+    axis (padded sizes stay multiples of the axis length), so one server
+    feeds every chip on the slice. This is the serving counterpart of the
+    SPMD train step — no per-device processes, no request router.
     """
     import jax
 
     from romp_tpu.pipeline.romp_pipeline import _jitted_inference
 
-    def run_batch(images: np.ndarray):
-        return _jitted_inference(params, smpl, images, cfg)
+    if mesh is None:
+        def run_batch(images: np.ndarray):
+            return _jitted_inference(params, smpl, images, cfg)
+
+        multiple = 1
+    else:
+        from romp_tpu.parallel.mesh import batch_sharding, replicate_tree
+
+        params_r = replicate_tree(params, mesh)
+        smpl_r = replicate_tree(smpl, mesh)
+        sharding = batch_sharding(mesh)
+        multiple = int(mesh.devices.size)
+        assert max_batch % multiple == 0, (
+            f"max_batch {max_batch} must be a multiple of the mesh size "
+            f"{multiple}")
+
+        def run_batch(images: np.ndarray):
+            imgs = jax.device_put(images, sharding)
+            return _jitted_inference(params_r, smpl_r, imgs, cfg)
 
     def fetch(handle):
         return jax.device_get(handle)
 
     return MicroBatcher(run_batch, fetch, max_batch=max_batch,
-                        window_ms=window_ms, input_size=cfg.input_size)
+                        window_ms=window_ms, input_size=cfg.input_size,
+                        batch_multiple=multiple)
 
 
 # ---------------------------------------------------------------- transport
@@ -256,7 +283,10 @@ class InferenceServer:
         image, pad_info = img_preprocess(
             img, input_size=self.batcher.input_size)
         image = np.clip(image[0], 0, 255).astype(np.uint8)
-        res = self.batcher.submit(image).result(timeout=120)
+        # generous bound: the FIRST request of a new padded batch size pays
+        # its XLA compile (minutes on a cold remote-tunneled device; seconds
+        # local-attach). Steady-state requests return in milliseconds.
+        res = self.batcher.submit(image).result(timeout=900)
         res = {k: np.asarray(v, np.float32) if v.dtype == np.float16 else v
                for k, v in res.items()}
         # batcher results are per-image (K, ...); filter_valid wants (B, K)

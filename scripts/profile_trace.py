@@ -44,8 +44,9 @@ def main():
                    tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
     flow_fn = None
     if args.flow:
+        # CLI-default parity flow (20 it, bf16 = reference autocast mode)
         flow_fn = make_trace_flow_fn(init_raft_params(jax.random.PRNGKey(2)),
-                                     iters=12)
+                                     iters=20, compute_dtype="bfloat16")
     pipe = TracePipeline(tparams, adult, baby, cfg, sc, flow_fn=flow_fn)
     frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
 

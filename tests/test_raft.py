@@ -108,3 +108,13 @@ def test_flow_fn_bf16_default_mode():
     assert np.isfinite(b).all()
     sa, sb = np.abs(a).mean(), np.abs(b).mean()
     assert sb < 50 * sa + 1e-3 and sa < 50 * sb + 1e-3
+
+    # opt-in bf16 correlation pyramid stays finite and on-scale too
+    bf16c = make_trace_flow_fn(params, iters=4, out_size=32,
+                               flow_input_size=128,
+                               compute_dtype="bfloat16",
+                               corr_dtype="bfloat16")
+    c = np.asarray(bf16c(jnp.asarray(im1), jnp.asarray(im2)))
+    assert np.isfinite(c).all()
+    sc = np.abs(c).mean()
+    assert sc < 50 * sa + 1e-3 and sa < 50 * sc + 1e-3

@@ -141,6 +141,47 @@ def test_serve_end_to_end_concurrent_clients(romp_server):
     assert romp_server.batcher.batches_run <= 4
 
 
+def test_spmd_mesh_serving():
+    """SPMD serving: one batcher feeds an 8-device mesh; padded batch sizes
+    stay multiples of the data axis and results match single-device."""
+    from romp_tpu.models.romp import init_romp_params
+    from romp_tpu.parallel.mesh import make_mesh
+    from romp_tpu.pipeline.romp_pipeline import RompConfig
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    size = 64
+    params = init_romp_params(jax.random.PRNGKey(0), input_size=size)
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    cfg = RompConfig(input_size=size, max_person=4, conf_thresh=-1e9,
+                     calc_smpl=False)
+    mesh = make_mesh(8)
+    mb = make_romp_service(params, smpl, cfg, max_batch=16, window_ms=20.0,
+                           mesh=mesh)
+    try:
+        assert mb.sizes == [8, 16]
+        rng = np.random.RandomState(0)
+        imgs = [(rng.rand(size, size, 3) * 255).astype(np.uint8)
+                for _ in range(3)]
+        futs = [mb.submit(im) for im in imgs]
+        res = [f.result(timeout=300) for f in futs]
+        assert mb.batches_run == 1            # one padded-to-8 batch
+        # parity vs the unsharded graph
+        ref = make_romp_service(params, smpl, cfg, max_batch=4,
+                                window_ms=1.0)
+        try:
+            for im, r in zip(imgs, res):
+                r0 = ref.submit(im).result(timeout=300)
+                np.testing.assert_allclose(r["center_confs"],
+                                           r0["center_confs"],
+                                           rtol=2e-5, atol=2e-5)
+                np.testing.assert_array_equal(r["mask"], r0["mask"])
+        finally:
+            ref.close()
+    finally:
+        mb.close()
+
+
 def test_serve_error_reporting(romp_server):
     """A malformed request yields an error response, not a hung socket."""
     import socket
