@@ -200,6 +200,42 @@ def make_romp_service(params, smpl, cfg, max_batch: int = 8,
                         batch_multiple=multiple)
 
 
+def make_bev_service(params, smpl_adult, smpl_baby, cfg, max_batch: int = 8,
+                     window_ms: float = 2.0, mesh=None) -> MicroBatcher:
+    """MicroBatcher over the jitted BEV graph (bev_pipeline.bev_inference) —
+    all-age SMPL+A serving with 3D (x, y, depth) localization. Same
+    batching/sharding semantics as make_romp_service."""
+    import jax
+
+    from romp_tpu.pipeline.bev_pipeline import _jitted_bev
+
+    if mesh is None:
+        def run_batch(images: np.ndarray):
+            return _jitted_bev(params, smpl_adult, smpl_baby, images, cfg)
+
+        multiple = 1
+    else:
+        from romp_tpu.parallel.mesh import batch_sharding, replicate_tree
+
+        params_r = replicate_tree(params, mesh)
+        adult_r = replicate_tree(smpl_adult, mesh)
+        baby_r = replicate_tree(smpl_baby, mesh)
+        sharding = batch_sharding(mesh)
+        multiple = int(mesh.devices.size)
+        assert max_batch % multiple == 0
+
+        def run_batch(images: np.ndarray):
+            imgs = jax.device_put(images, sharding)
+            return _jitted_bev(params_r, adult_r, baby_r, imgs, cfg)
+
+    def fetch(handle):
+        return jax.device_get(handle)
+
+    return MicroBatcher(run_batch, fetch, max_batch=max_batch,
+                        window_ms=window_ms, input_size=cfg.input_size,
+                        batch_multiple=multiple)
+
+
 # ---------------------------------------------------------------- transport
 
 def _read_exact(sock: socket.socket, n: int) -> bytes:
@@ -337,31 +373,55 @@ def main(input_args=None):
     import os.path as osp
 
     ap = argparse.ArgumentParser("romp_tpu.serve")
+    ap.add_argument("--model", default="romp", choices=("romp", "bev"))
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8011)
-    ap.add_argument("--model_path", default=osp.join(DEFAULT_HOME,
-                                                     "ROMP.pkl"))
-    ap.add_argument("--smpl_path", default=osp.join(DEFAULT_HOME,
-                                                    "SMPL_NEUTRAL.pth"))
+    ap.add_argument("--model_path", default="")
+    ap.add_argument("--smpl_path", default="")
+    ap.add_argument("--smil_path", default=osp.join(DEFAULT_HOME,
+                                                    "smil_packed_info.pth"))
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--window_ms", type=float, default=2.0)
     ap.add_argument("--fetch_person", type=int, default=8,
-                    help="top-K person slots fetched per image (0 = all)")
+                    help="top-K person slots fetched per image (0 = all; "
+                         "romp only)")
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--act_dtype", default="float32")
     args = ap.parse_args(input_args)
 
-    params = load_checkpoint_flexible(args.model_path, init_romp_params)
-    assets = load_smpl_assets_flexible(args.smpl_path, num_betas=10)
-    cfg = RompConfig(compute_dtype=args.compute_dtype,
-                     act_dtype=args.act_dtype,
-                     transfer_dtype="float16",
-                     fetch_slots=args.fetch_person)
-    batcher = make_romp_service(params, SmplModel.from_assets(assets), cfg,
-                                max_batch=args.max_batch,
-                                window_ms=args.window_ms)
+    if args.model == "bev":
+        from romp_tpu.models.bev import init_bev_params
+        from romp_tpu.pipeline.bev_pipeline import BevConfig
+
+        params = load_checkpoint_flexible(
+            args.model_path or osp.join(DEFAULT_HOME, "BEV.pth"),
+            init_bev_params)
+        adult = load_smpl_assets_flexible(
+            args.smpl_path or osp.join(DEFAULT_HOME, "SMPLA_NEUTRAL.pth"),
+            num_betas=11)
+        baby = load_smpl_assets_flexible(args.smil_path, num_betas=10)
+        cfg = BevConfig(compute_dtype=args.compute_dtype,
+                        act_dtype=args.act_dtype, transfer_dtype="float16")
+        batcher = make_bev_service(
+            params, SmplModel.from_assets(adult),
+            SmplModel.from_assets(baby), cfg, max_batch=args.max_batch,
+            window_ms=args.window_ms)
+    else:
+        params = load_checkpoint_flexible(
+            args.model_path or osp.join(DEFAULT_HOME, "ROMP.pkl"),
+            init_romp_params)
+        assets = load_smpl_assets_flexible(
+            args.smpl_path or osp.join(DEFAULT_HOME, "SMPL_NEUTRAL.pth"),
+            num_betas=10)
+        cfg = RompConfig(compute_dtype=args.compute_dtype,
+                         act_dtype=args.act_dtype,
+                         transfer_dtype="float16",
+                         fetch_slots=args.fetch_person)
+        batcher = make_romp_service(
+            params, SmplModel.from_assets(assets), cfg,
+            max_batch=args.max_batch, window_ms=args.window_ms)
     server = InferenceServer(batcher, host=args.host, port=args.port)
-    print(f"serving ROMP on tcp://{args.host}:{server.port} "
+    print(f"serving {args.model.upper()} on tcp://{args.host}:{server.port} "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
     try:
         while True:

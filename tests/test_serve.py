@@ -182,6 +182,34 @@ def test_spmd_mesh_serving():
         mb.close()
 
 
+def test_bev_service_end_to_end():
+    """BEV serving: micro-batched SMPL+A graph behind the same server."""
+    from romp_tpu.models.bev import init_bev_params
+    from romp_tpu.pipeline.bev_pipeline import BevConfig
+    from romp_tpu.serve import make_bev_service
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    size = 64
+    params = init_bev_params(jax.random.PRNGKey(0), input_size=size)
+    adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
+    baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
+    cfg = BevConfig(input_size=size, max_person=4, conf_thresh=-1e9)
+    batcher = make_bev_service(params, adult, baby, cfg, max_batch=2,
+                               window_ms=5.0)
+    server = InferenceServer(batcher)
+    try:
+        c = InferenceClient(port=server.port)
+        img = (np.random.RandomState(0).rand(48, 64, 3) * 255
+               ).astype(np.uint8)
+        res = c.infer(img)
+        c.close()
+        assert "verts" in res and res["verts"].shape[1:] == (6890, 3)
+        assert np.isfinite(res["cam_trans"]).all()
+    finally:
+        server.close()
+
+
 def test_serve_error_reporting(romp_server):
     """A malformed request yields an error response, not a hung socket."""
     import socket

@@ -87,6 +87,64 @@ def test_trainer_fit_and_checkpoint_roundtrip(tmp_path):
                                   np.asarray(trainer.state.trainable[k]))
 
 
+def test_trainer_pipelined_fit_logs_every_step_and_counts_nan(tmp_path):
+    """The pipelined loop consumes metrics one step late but must still log
+    every step once, count injected non-finite steps as skips, and run
+    eval_fn synchronized on eval-due steps."""
+    import json as _json
+
+    from romp_tpu.config import Config
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+    from romp_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.model.input_size = 64
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_every = 1
+    cfg.train.test_interval = 3
+    cfg.mesh.n_devices = 1
+
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    eval_steps = []
+    trainer = Trainer(cfg, smpl,
+                      eval_fn=lambda s: (eval_steps.append(int(s.step))
+                                         or {"pampjpe": 1.0}))
+
+    # inject a fake packed step: no compile, deterministic metrics; step 4
+    # (1-indexed) returns a non-finite total
+    trainer._metric_names = ("grads_finite", "total")
+    state = trainer.state
+    counter = {"n": 0}
+
+    class _FakeState:
+        def __init__(self, step):
+            self.step = step
+            self.trainable, self.bn_state = state.trainable, state.bn_state
+            self.opt_state = state.opt_state
+
+    def fake_step(s, b):
+        counter["n"] += 1
+        bad = counter["n"] == 4
+        total = float("nan") if bad else 100.0 - counter["n"]
+        return _FakeState(counter["n"]), np.asarray(
+            [0.0 if bad else 1.0, total], np.float32)
+
+    trainer._step_packed = fake_step
+    metrics = trainer.fit(({"x": np.zeros(1)} for _ in range(6)),
+                          max_steps=6)
+    log = [_json.loads(l) for l in
+           open(osp.join(cfg.train.checkpoint_dir, "train_log.jsonl"))]
+    events = [r for r in log if r.get("event") == "nan_skip"]
+    assert len(events) == 1 and events[0]["step"] == 4
+    assert metrics["skipped"] == 1
+    # every finite step logged exactly once
+    logged_steps = [r["step"] for r in log if "loss" in r]
+    assert logged_steps == [1, 2, 3, 5, 6]
+    # eval ran on the synchronized states (steps 3 and 6)
+    assert eval_steps == [3, 6]
+
+
 def test_pa_mpjpe_invariances():
     from romp_tpu.eval.metrics import mpjpe, pa_mpjpe, pck, auc
     from romp_tpu.ops.rotations import axis_angle_to_matrix
