@@ -107,6 +107,18 @@ class Trainer:
                 input_size=cfg.model.input_size,
                 backbone=cfg.model.backbone)
         state = init_train_state(params, self.tcfg)
+        if cfg.train.resume:
+            if cfg.train.fine_tune:
+                # fine-tune semantics (reference --fine_tune +
+                # copy_state_dict, `romp/lib/utils/train_utils.py:15-66`):
+                # take weights + BN stats from the checkpoint, start a
+                # FRESH optimizer/step (so the LR schedule restarts).
+                loaded = load_train_state(cfg.train.resume, state)
+                state = init_train_state(
+                    {**loaded.trainable, **loaded.bn_state}, self.tcfg)
+            else:
+                # full resume: params + BN + optimizer state + step counter
+                state = load_train_state(cfg.train.resume, state)
         self.state = replicate_tree(state, self.mesh)
         self._step = jax.jit(
             lambda s, b: train_step(s, b, self.smpl, self.tcfg, self.prior),
@@ -146,6 +158,20 @@ class Trainer:
             if scalars or flat_val:
                 self.tb.add_scalars({**scalars, **flat_val},
                                     int(record["step"]))
+
+    def _save_snapshot(self, step: int) -> None:
+        """Rotating step snapshots every test_interval (the reference saves
+        via save_model each interval, `romp/lib/utils/train_utils.py:68`);
+        the newest `train.keep_checkpoints` are kept."""
+        keep = self.cfg.train.keep_checkpoints
+        if keep <= 0:
+            return
+        ckdir = self.cfg.train.checkpoint_dir
+        save_train_state(osp.join(ckdir, f"step_{step:08d}.npz"), self.state)
+        snaps = sorted(f for f in os.listdir(ckdir)
+                       if f.startswith("step_") and f.endswith(".npz"))
+        for old in snaps[:-keep]:
+            os.remove(osp.join(ckdir, old))
 
     def log_image_grid(self, tag: str, images, step: int) -> None:
         """Best/worst sample grids (`romp/train.py:69-78` equivalent) —
@@ -224,12 +250,12 @@ class Trainer:
             if pending is not None:
                 consume(*pending)
                 pending = None
-            if (cfg.test_interval and step % cfg.test_interval == 0
-                    and self.eval_fn is not None):
-                # eval-due step: synchronize NOW so eval_fn sees the state
-                # exactly at `step` (pipelining would hand it a state one
-                # step newer).
+            if cfg.test_interval and step % cfg.test_interval == 0:
+                # checkpoint/eval-due step: synchronize NOW so eval_fn and
+                # the snapshot see the state exactly at `step` (pipelining
+                # would hand them a state one step newer).
                 consume(packed, step)
+                self._save_snapshot(step)
             else:
                 pending = (packed, step)
         if pending is not None:

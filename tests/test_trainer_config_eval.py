@@ -87,6 +87,44 @@ def test_trainer_fit_and_checkpoint_roundtrip(tmp_path):
                                   np.asarray(trainer.state.trainable[k]))
 
 
+def test_trainer_resume_and_fine_tune(tmp_path):
+    """train.resume restores params+optimizer+step; with train.fine_tune
+    the weights load but optimizer/step restart (reference --fine_tune)."""
+    from romp_tpu.config import Config
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+    from romp_tpu.train.trainer import Trainer, save_train_state
+    from romp_tpu.train.train_step import TrainState
+
+    cfg = Config()
+    cfg.model.input_size = 64
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.mesh.n_devices = 1
+
+    smpl = SmplModel.from_assets(synthetic_assets(seed=0))
+    a = Trainer(cfg, smpl)
+    # pretend we trained: bump the step and perturb one weight
+    k = next(iter(a.state.trainable))
+    perturbed = dict(a.state.trainable)
+    perturbed[k] = perturbed[k] + 1.0
+    st = TrainState(perturbed, a.state.bn_state, a.state.opt_state,
+                    jnp.asarray(17))
+    path = str(tmp_path / "resume.npz")
+    save_train_state(path, st)
+
+    cfg.train.resume = path
+    b = Trainer(cfg, smpl)
+    assert int(b.state.step) == 17
+    np.testing.assert_array_equal(np.asarray(b.state.trainable[k]),
+                                  np.asarray(perturbed[k]))
+
+    cfg.train.fine_tune = True
+    c = Trainer(cfg, smpl)
+    assert int(c.state.step) == 0                      # fresh schedule
+    np.testing.assert_array_equal(np.asarray(c.state.trainable[k]),
+                                  np.asarray(perturbed[k]))  # weights kept
+
+
 def test_trainer_pipelined_fit_logs_every_step_and_counts_nan(tmp_path):
     """The pipelined loop consumes metrics one step late but must still log
     every step once, count injected non-finite steps as skips, and run
@@ -103,6 +141,7 @@ def test_trainer_pipelined_fit_logs_every_step_and_counts_nan(tmp_path):
     cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
     cfg.train.log_every = 1
     cfg.train.test_interval = 3
+    cfg.train.keep_checkpoints = 1
     cfg.mesh.n_devices = 1
 
     smpl = SmplModel.from_assets(synthetic_assets(seed=0))
@@ -143,6 +182,12 @@ def test_trainer_pipelined_fit_logs_every_step_and_counts_nan(tmp_path):
     assert logged_steps == [1, 2, 3, 5, 6]
     # eval ran on the synchronized states (steps 3 and 6)
     assert eval_steps == [3, 6]
+    # rotating snapshots: saved at 3 and 6, pruned to keep_checkpoints=1
+    import os as _os
+
+    snaps = sorted(f for f in _os.listdir(cfg.train.checkpoint_dir)
+                   if f.startswith("step_"))
+    assert snaps == ["step_00000006.npz"]
 
 
 def test_pa_mpjpe_invariances():
