@@ -387,7 +387,16 @@ def main(input_args=None):
                          "romp only)")
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--act_dtype", default="float32")
+    ap.add_argument("--mesh_devices", type=int, default=0,
+                    help="SPMD serving over an N-device data-parallel "
+                         "mesh (0 = single device); max_batch must be a "
+                         "multiple of N")
     args = ap.parse_args(input_args)
+    mesh = None
+    if args.mesh_devices > 0:
+        from romp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
 
     if args.model == "bev":
         from romp_tpu.models.bev import init_bev_params
@@ -405,7 +414,7 @@ def main(input_args=None):
         batcher = make_bev_service(
             params, SmplModel.from_assets(adult),
             SmplModel.from_assets(baby), cfg, max_batch=args.max_batch,
-            window_ms=args.window_ms)
+            window_ms=args.window_ms, mesh=mesh)
     else:
         params = load_checkpoint_flexible(
             args.model_path or osp.join(DEFAULT_HOME, "ROMP.pkl"),
@@ -419,7 +428,7 @@ def main(input_args=None):
                          fetch_slots=args.fetch_person)
         batcher = make_romp_service(
             params, SmplModel.from_assets(assets), cfg,
-            max_batch=args.max_batch, window_ms=args.window_ms)
+            max_batch=args.max_batch, window_ms=args.window_ms, mesh=mesh)
     server = InferenceServer(batcher, host=args.host, port=args.port)
     print(f"serving {args.model.upper()} on tcp://{args.host}:{server.port} "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")

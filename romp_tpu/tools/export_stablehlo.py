@@ -41,6 +41,37 @@ def export_romp(checkpoint: str, out_path: str, batch: int = 1,
     return out_path
 
 
+def export_bev(checkpoint: str, out_path: str, batch: int = 1,
+               max_person: int = 8, input_size: int = 512) -> str:
+    """BEV export — parity with the reference's second ONNX graph
+    (`simple_romp/bev/model.py:252`); SMPL+A (adult+baby) is embedded."""
+    import jax
+    import jax.numpy as jnp
+
+    from romp_tpu.cli.common import load_checkpoint_flexible
+    from romp_tpu.models.bev import init_bev_params
+    from romp_tpu.pipeline.bev_pipeline import BevConfig, bev_inference
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    params = load_checkpoint_flexible(
+        checkpoint,
+        lambda rng: init_bev_params(rng, input_size=input_size))
+    adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
+    baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
+    cfg = BevConfig(max_person=max_person, input_size=input_size)
+
+    def fn(images):
+        return bev_inference(params, adult, baby, images, cfg)
+
+    exported = jax.export.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch, input_size, input_size, 3),
+                             jnp.float32))
+    with open(out_path, "wb") as f:
+        f.write(exported.serialize())
+    return out_path
+
+
 def load_exported(path: str):
     import jax
 
@@ -54,9 +85,14 @@ def main(input_args=None) -> int:
     parser.add_argument("output", type=str)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--backbone", type=str, default="hrnet32")
+    parser.add_argument("--model", type=str, default="romp",
+                        choices=("romp", "bev"))
     args = parser.parse_args(input_args)
-    out = export_romp(args.checkpoint, args.output, args.batch,
-                      args.backbone)
+    if args.model == "bev":
+        out = export_bev(args.checkpoint, args.output, args.batch)
+    else:
+        out = export_romp(args.checkpoint, args.output, args.batch,
+                          args.backbone)
     print(f"exported StableHLO to {out}")
     return 0
 

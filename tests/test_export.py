@@ -21,6 +21,19 @@ def test_stablehlo_export_roundtrip(tmp_path):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
+def test_stablehlo_export_bev_roundtrip(tmp_path):
+    from romp_tpu.tools.export_stablehlo import export_bev, load_exported
+
+    out = str(tmp_path / "bev.stablehlo")
+    export_bev(str(tmp_path / "missing.npz"), out, batch=1, max_person=2,
+               input_size=64)
+    exported = load_exported(out)
+    res = exported.call(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    leaves = jax.tree_util.tree_leaves(res)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 # ----------------------------------------------------------- DeepMimic --
 
 def _standing_joints():
