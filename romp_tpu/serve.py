@@ -89,11 +89,28 @@ class MicroBatcher:
         self._q.put((image, fut))
         return fut
 
+    def precompile(self) -> None:
+        """Compile every padded batch size up front (zero batches through
+        the real path), so no live request ever pays a cold XLA compile —
+        start the server, precompile, then open the port to traffic."""
+        S = self.input_size
+        for b in self.sizes:
+            handle = self.run_batch(np.zeros((b, S, S, 3), np.uint8))
+            self.fetch(handle)
+
     def close(self):
         self._stop.set()
         self._q.put(None)          # wake dispatcher
         self._dispatcher.join(timeout=5)
-        self._inflight.put(None)   # wake collector
+        # fail anything still queued so no waiter blocks forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("batcher closed"))
+        self._inflight.put(None)   # wake collector (after in-flight items)
         self._collector.join(timeout=5)
 
     # ---- internals ----
@@ -118,7 +135,10 @@ class MicroBatcher:
 
     def _dispatch_loop(self):
         S = self.input_size
-        while not self._stop.is_set():
+        while True:
+            # a batch returned mid-close still gets dispatched — its
+            # futures must resolve; the stop flag is honored at the top of
+            # the next take (as a consumed None sentinel) or below.
             batch = self._take_batch()
             if batch is None:
                 break
@@ -136,6 +156,8 @@ class MicroBatcher:
             self.batches_run += 1
             self.items_run += n
             self._inflight.put((handle, batch))
+            if self._stop.is_set():
+                break              # close() raced the fill; batch dispatched
 
     def _collect_loop(self):
         while True:
@@ -391,6 +413,9 @@ def main(input_args=None):
                     help="SPMD serving over an N-device data-parallel "
                          "mesh (0 = single device); max_batch must be a "
                          "multiple of N")
+    ap.add_argument("--precompile", action="store_true",
+                    help="compile every padded batch size before opening "
+                         "the port (no live request pays a cold compile)")
     args = ap.parse_args(input_args)
     mesh = None
     if args.mesh_devices > 0:
@@ -429,6 +454,9 @@ def main(input_args=None):
         batcher = make_romp_service(
             params, SmplModel.from_assets(assets), cfg,
             max_batch=args.max_batch, window_ms=args.window_ms, mesh=mesh)
+    if args.precompile:
+        print(f"precompiling batch sizes {batcher.sizes} ...", flush=True)
+        batcher.precompile()
     server = InferenceServer(batcher, host=args.host, port=args.port)
     print(f"serving {args.model.upper()} on tcp://{args.host}:{server.port} "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")

@@ -101,6 +101,10 @@ def main():
     batcher = make_romp_service(params, smpl, cfg,
                                 max_batch=args.max_batch,
                                 window_ms=args.window_ms)
+    print(f"precompiling batch sizes {batcher.sizes} ...", flush=True)
+    t0 = time.time()
+    batcher.precompile()
+    print(f"precompiled in {time.time() - t0:.0f}s", flush=True)
     server = InferenceServer(batcher)
     try:
         levels = [int(x) for x in args.levels.split(",")]

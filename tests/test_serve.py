@@ -44,6 +44,22 @@ def test_microbatcher_routes_results_and_pads():
         mb.close()
 
 
+def test_precompile_touches_every_padded_size():
+    sizes_seen = []
+
+    def run_batch(images):
+        sizes_seen.append(images.shape[0])
+        return {"n": np.arange(images.shape[0])}
+
+    mb = MicroBatcher(run_batch, fetch=lambda h: h, max_batch=8,
+                      window_ms=1.0, input_size=4)
+    try:
+        mb.precompile()
+        assert sizes_seen == [1, 2, 4, 8]
+    finally:
+        mb.close()
+
+
 def test_microbatcher_exception_propagates():
     def run_batch(images):
         raise RuntimeError("boom")
@@ -56,6 +72,20 @@ def test_microbatcher_exception_propagates():
             fut.result(timeout=10)
     finally:
         mb.close()
+
+
+def test_close_mid_fill_still_resolves_future():
+    """close() while the dispatcher is filling a batch must not strand the
+    already-submitted request — it gets dispatched (or failed), never hung."""
+    def run_batch(images):
+        return {"n": np.arange(images.shape[0])}
+
+    mb = MicroBatcher(run_batch, fetch=lambda h: h, max_batch=4,
+                      window_ms=2000.0, input_size=4)
+    fut = mb.submit(np.zeros((4, 4, 3), np.uint8))
+    time.sleep(0.1)              # dispatcher is inside the fill window
+    mb.close()
+    assert fut.result(timeout=5) is not None
 
 
 def test_microbatcher_double_buffer_overlap():
