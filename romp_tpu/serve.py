@@ -294,8 +294,16 @@ class InferenceServer:
     """
 
     def __init__(self, batcher: MicroBatcher, host: str = "127.0.0.1",
-                 port: int = 0, faces: Optional[np.ndarray] = None):
+                 port: int = 0, faces: Optional[np.ndarray] = None,
+                 crowd_settings=None):
+        # crowd_settings (BEV batchers only): namespace with overlap_ratio /
+        # nms_thresh / relative_scale_thresh / input_size. When set, images
+        # with aspect >= 2 route through the sliding-window crowd pipeline
+        # (the reference's `bev/main.py:139` long-image mode) — the windows
+        # are submitted as ordinary requests, so they micro-batch together
+        # (and with other clients' traffic) on the same device batches.
         self.batcher = batcher
+        self.crowd_settings = crowd_settings
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -338,6 +346,9 @@ class InferenceServer:
 
         shape = tuple(header["shape"])
         img = np.frombuffer(payload, np.uint8).reshape(shape)
+        if (self.crowd_settings is not None
+                and img.shape[1] / img.shape[0] >= 2):
+            return self._infer_crowd(img)
         image, pad_info = img_preprocess(
             img, input_size=self.batcher.input_size)
         image = np.clip(image[0], 0, 255).astype(np.uint8)
@@ -356,6 +367,33 @@ class InferenceServer:
             res["verts_camed_org"] = convert_to_org_image_coords_np(
                 res["verts_camed"], pad_info)
         return res
+
+    def _infer_crowd(self, img_bgr: np.ndarray) -> Dict[str, np.ndarray]:
+        from romp_tpu.ops.projection import convert_to_org_image_coords_np
+        from romp_tpu.pipeline.crowd import process_long_image
+
+        def pipe(batch):
+            crops = np.asarray(batch)
+            futs = [self.batcher.submit(
+                np.clip(c, 0, 255).astype(np.uint8)) for c in crops]
+            res = [f.result(timeout=900) for f in futs]
+            return {k: np.stack([
+                np.asarray(r[k], np.float32)
+                if r[k].dtype == np.float16 else r[k] for r in res])
+                for k in res[0]}
+
+        out = process_long_image(pipe, img_bgr[..., ::-1],
+                                 self.crowd_settings)
+        if out is None:
+            return {}
+        pad_info = out.pop("pad_info")
+        if "pj2d" in out:
+            out["pj2d_org"] = convert_to_org_image_coords_np(
+                out["pj2d"], pad_info)
+        if "verts_camed" in out:
+            out["verts_camed_org"] = convert_to_org_image_coords_np(
+                out["verts_camed"], pad_info)
+        return out
 
     def close(self):
         self._server.shutdown()
@@ -416,6 +454,10 @@ def main(input_args=None):
     ap.add_argument("--precompile", action="store_true",
                     help="compile every padded batch size before opening "
                          "the port (no live request pays a cold compile)")
+    ap.add_argument("--crowd", action="store_true",
+                    help="BEV only: route aspect>=2 panoramas through the "
+                         "sliding-window crowd pipeline (windows "
+                         "micro-batch with regular traffic)")
     args = ap.parse_args(input_args)
     mesh = None
     if args.mesh_devices > 0:
@@ -423,7 +465,9 @@ def main(input_args=None):
 
         mesh = make_mesh(args.mesh_devices)
 
+    crowd_settings = None
     if args.model == "bev":
+        from romp_tpu.cli.bev import LONG_CONF_DICT
         from romp_tpu.models.bev import init_bev_params
         from romp_tpu.pipeline.bev_pipeline import BevConfig
 
@@ -434,8 +478,14 @@ def main(input_args=None):
             args.smpl_path or osp.join(DEFAULT_HOME, "SMPLA_NEUTRAL.pth"),
             num_betas=11)
         baby = load_smpl_assets_flexible(args.smil_path, num_betas=10)
+        conf = LONG_CONF_DICT[1]
         cfg = BevConfig(compute_dtype=args.compute_dtype,
-                        act_dtype=args.act_dtype, transfer_dtype="float16")
+                        act_dtype=args.act_dtype, transfer_dtype="float16",
+                        conf_thresh=conf[0] if args.crowd else 0.1)
+        if args.crowd:
+            crowd_settings = argparse.Namespace(
+                overlap_ratio=conf[3], nms_thresh=conf[1],
+                relative_scale_thresh=conf[2], input_size=512)
         batcher = make_bev_service(
             params, SmplModel.from_assets(adult),
             SmplModel.from_assets(baby), cfg, max_batch=args.max_batch,
@@ -457,7 +507,8 @@ def main(input_args=None):
     if args.precompile:
         print(f"precompiling batch sizes {batcher.sizes} ...", flush=True)
         batcher.precompile()
-    server = InferenceServer(batcher, host=args.host, port=args.port)
+    server = InferenceServer(batcher, host=args.host, port=args.port,
+                             crowd_settings=crowd_settings)
     print(f"serving {args.model.upper()} on tcp://{args.host}:{server.port} "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
     try:
