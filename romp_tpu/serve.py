@@ -38,6 +38,10 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """Admission queue full — shed load at the edge."""
+
+
 def _pad_sizes(max_batch: int, multiple: int = 1) -> List[int]:
     """Compiled batch sizes: multiple, 2x, 4x, ... max_batch (one XLA
     program each). `multiple` > 1 keeps every size divisible by the mesh's
@@ -64,14 +68,18 @@ class MicroBatcher:
 
     def __init__(self, run_batch: Callable, fetch: Callable,
                  max_batch: int = 8, window_ms: float = 2.0,
-                 input_size: int = 512, batch_multiple: int = 1):
+                 input_size: int = 512, batch_multiple: int = 1,
+                 max_queue: int = 256):
         self.run_batch = run_batch
         self.fetch = fetch
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.input_size = input_size
         self.sizes = _pad_sizes(max_batch, batch_multiple)
-        self._q: "queue.Queue" = queue.Queue()
+        # bounded admission queue = backpressure: a flood of requests gets
+        # an immediate Overloaded error instead of unbounded host memory
+        # growth (each queued image is S*S*3 bytes)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self.batches_run = 0
@@ -84,9 +92,16 @@ class MicroBatcher:
         self._collector.start()
 
     def submit(self, image: np.ndarray) -> "Future":
-        """image: (S, S, 3) uint8, already preprocessed to the model size."""
+        """image: (S, S, 3) uint8, already preprocessed to the model size.
+
+        Raises Overloaded when the admission queue is full (shed load at
+        the edge rather than queueing unboundedly)."""
         fut: Future = Future()
-        self._q.put((image, fut))
+        try:
+            self._q.put_nowait((image, fut))
+        except queue.Full:
+            raise Overloaded(
+                f"admission queue full ({self._q.maxsize} pending)")
         return fut
 
     def precompile(self) -> None:
@@ -100,7 +115,10 @@ class MicroBatcher:
 
     def close(self):
         self._stop.set()
-        self._q.put(None)          # wake dispatcher
+        try:
+            self._q.put(None, timeout=5)   # wake dispatcher
+        except queue.Full:
+            pass                           # dispatcher dead; join times out
         self._dispatcher.join(timeout=5)
         # fail anything still queued so no waiter blocks forever
         while True:

@@ -74,6 +74,32 @@ def test_microbatcher_exception_propagates():
         mb.close()
 
 
+def test_backpressure_sheds_load():
+    """submit raises Overloaded once the admission queue fills."""
+    from romp_tpu.serve import Overloaded
+
+    gate = threading.Event()
+
+    def run_batch(images):
+        gate.wait(timeout=10)
+        return {"n": np.arange(images.shape[0])}
+
+    mb = MicroBatcher(run_batch, fetch=lambda h: h, max_batch=1,
+                      window_ms=0.1, input_size=4, max_queue=2)
+    try:
+        img = np.zeros((4, 4, 3), np.uint8)
+        futs = [mb.submit(img)]          # taken by the dispatcher, blocks
+        time.sleep(0.2)
+        futs += [mb.submit(img), mb.submit(img)]   # fills the queue (2)
+        with pytest.raises(Overloaded):
+            mb.submit(img)
+        gate.set()
+        for f in futs:
+            f.result(timeout=10)
+    finally:
+        mb.close()
+
+
 def test_close_mid_fill_still_resolves_future():
     """close() while the dispatcher is filling a batch must not strand the
     already-submitted request — it gets dispatched (or failed), never hung."""
