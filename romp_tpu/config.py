@@ -107,6 +107,12 @@ class TraceSectionConfig:
 class MeshConfig:
     n_devices: Optional[int] = None      # None = all
     data_axis: str = "data"
+    # multi-host SPMD (pod slices): join a jax.distributed job and mesh
+    # over ALL global devices; each process feeds its local batch shard.
+    multihost: bool = False
+    coordinator: Optional[str] = None    # None = auto-detect on TPU pods
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 @dataclasses.dataclass

@@ -52,3 +52,46 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def replicate_tree(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ------------------------------------------------------------ multi-host --
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Join a multi-host SPMD job (the reference's torch.distributed init,
+    `romp/base.py:48-55`, NCCL -> here: one jax.distributed runtime, DCN
+    between hosts, ICI within a slice). On TPU pods the three arguments are
+    auto-detected from the environment; pass them explicitly elsewhere.
+    No-op when already initialized or single-process."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as exc:           # already initialized
+        if "already" not in str(exc).lower():
+            raise
+
+
+def make_global_mesh(axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Mesh over ALL global devices (call after initialize_distributed).
+    Device order keeps each process's devices contiguous, so a batch axis
+    sharded over "data" puts each host's shard on its own local chips —
+    batch parallelism rides ICI within a slice and only gradient psums
+    cross DCN."""
+    return make_mesh(None, axis_names, devices=jax.devices())
+
+
+def shard_batch_global(batch, mesh: Mesh, axis: str = "data"):
+    """Multi-host batch placement: each process supplies ITS OWN slice of
+    the global batch (local arrays of size global_batch / num_processes);
+    the result is a global jax.Array sharded over `axis`. Reduces to
+    shard_batch in a single-process job."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

@@ -68,7 +68,17 @@ class Trainer:
         self.cfg = cfg
         self.smpl = smpl
         self.eval_fn = eval_fn
-        self.mesh = make_mesh(cfg.mesh.n_devices, (cfg.mesh.data_axis,))
+        if cfg.mesh.multihost:
+            from romp_tpu.parallel.mesh import (
+                initialize_distributed, make_global_mesh,
+            )
+
+            initialize_distributed(cfg.mesh.coordinator,
+                                   cfg.mesh.num_processes,
+                                   cfg.mesh.process_id)
+            self.mesh = make_global_mesh((cfg.mesh.data_axis,))
+        else:
+            self.mesh = make_mesh(cfg.mesh.n_devices, (cfg.mesh.data_axis,))
 
         self.tcfg = TrainConfig(
             lr=cfg.train.lr,
@@ -136,6 +146,9 @@ class Trainer:
 
         self._step_packed = jax.jit(_step_packed, donate_argnums=(0,))
         self.best_val = float("inf")
+        # rank-0-only logging/checkpointing in multi-host jobs (the
+        # reference's rank gate, `romp/base.py:184-186`)
+        self._is_main = jax.process_index() == 0
         os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
         self._log_path = osp.join(cfg.train.checkpoint_dir, "train_log.jsonl")
         # TensorBoard curves alongside the jsonl (`romp/train.py:65-78`)
@@ -147,6 +160,8 @@ class Trainer:
             self.tb = None
 
     def _log(self, record: Dict) -> None:
+        if not self._is_main:
+            return
         with open(self._log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         if self.tb is not None and "step" in record:
@@ -164,7 +179,7 @@ class Trainer:
         via save_model each interval, `romp/lib/utils/train_utils.py:68`);
         the newest `train.keep_checkpoints` are kept."""
         keep = self.cfg.train.keep_checkpoints
-        if keep <= 0:
+        if keep <= 0 or not self._is_main:
             return
         ckdir = self.cfg.train.checkpoint_dir
         save_train_state(osp.join(ckdir, f"step_{step:08d}.npz"), self.state)
@@ -224,8 +239,10 @@ class Trainer:
                 key = val.get("pampjpe", val.get("total", 0.0))
                 if key < self.best_val:
                     self.best_val = key
-                    save_train_state(
-                        osp.join(cfg.checkpoint_dir, "best.npz"), self.state)
+                    if self._is_main:
+                        save_train_state(
+                            osp.join(cfg.checkpoint_dir, "best.npz"),
+                            self.state)
 
         pending = None                          # (packed_metrics, step)
         for i, batch in enumerate(batches):
@@ -242,7 +259,14 @@ class Trainer:
                                                 self.prior),
                         self.state, batch)
                     self._metric_names = tuple(sorted(mshape))
-            batch = shard_batch(batch, self.mesh, self.cfg.mesh.data_axis)
+            if self.cfg.mesh.multihost:
+                from romp_tpu.parallel.mesh import shard_batch_global
+
+                batch = shard_batch_global(batch, self.mesh,
+                                           self.cfg.mesh.data_axis)
+            else:
+                batch = shard_batch(batch, self.mesh,
+                                    self.cfg.mesh.data_axis)
             new_state, packed = self._step_packed(self.state, batch)
             self.state = new_state
             n_done += 1
@@ -261,6 +285,8 @@ class Trainer:
         if pending is not None:
             consume(*pending)
 
-        save_train_state(osp.join(cfg.checkpoint_dir, "last.npz"), self.state)
+        if self._is_main:
+            save_train_state(osp.join(cfg.checkpoint_dir, "last.npz"),
+                             self.state)
         last_metrics["skipped"] = n_skipped
         return last_metrics

@@ -24,6 +24,7 @@ setup(
             "romp.prepare_smpl=romp_tpu.tools.prepare_smpl:main",
             "bev.prepare_smil=romp_tpu.tools.prepare_smil:main",
             "romp.convert_checkpoint=romp_tpu.tools.convert_checkpoint:main",
+            "romp.serve=romp_tpu.serve:main",
         ],
     },
 )
