@@ -100,13 +100,33 @@ def np_remove_outliers(cam_trans: np.ndarray, scales: np.ndarray,
     return keep
 
 
+def np_bev_cam_to_trans(cam: np.ndarray) -> np.ndarray:
+    """numpy twin of bev_pipeline.bev_cam_to_trans (FOV 60 deg)."""
+    tan = float(np.tan(np.radians(30.0)))
+    depth = 1.0 / (cam[..., 0] * tan + 1e-3)
+    xy = np.stack([cam[..., 2], cam[..., 1]], axis=-1) * depth[..., None] * tan
+    return np.concatenate([xy, depth[..., None]], axis=-1)
+
+
+def np_perspective_projection(points: np.ndarray, translation: np.ndarray,
+                              focal_length: float = 443.4,
+                              img_size: float = 512.0) -> np.ndarray:
+    """numpy twin of ops.projection.perspective_projection (normalized)."""
+    p = points + translation[..., None, :]
+    z = np.maximum(p[..., 2], 1e-6)
+    return np.stack([p[..., 0] / z, p[..., 1] / z],
+                    axis=-1) * focal_length / (img_size / 2.0)
+
+
 def process_long_image(bev_pipeline, image: np.ndarray, settings
                        ) -> Optional[Dict[str, np.ndarray]]:
     """Full crowd-mode flow. `bev_pipeline` is a BevPipeline; `settings`
-    needs overlap_ratio / nms_thresh / relative_scale_thresh / input_size."""
+    needs overlap_ratio / nms_thresh / relative_scale_thresh / input_size.
+
+    The merge math below is pure numpy — eager per-op jnp on a
+    remote-tunneled device costs a round trip each (repo convention:
+    host loops stay numpy-only)."""
     from romp_tpu.pipeline.video import filter_valid
-    from romp_tpu.pipeline.bev_pipeline import bev_cam_to_trans
-    from romp_tpu.ops.projection import perspective_projection
     import jax.numpy as jnp
 
     try:
@@ -167,12 +187,10 @@ def process_long_image(bev_pipeline, image: np.ndarray, settings
     outputs = {k: np.concatenate(v) for k, v in merged.items()}
 
     # Re-project with full-image cams; global pruning.
-    outputs["cam_trans"] = np.asarray(
-        bev_cam_to_trans(jnp.asarray(outputs["cam"])))
+    outputs["cam_trans"] = np_bev_cam_to_trans(outputs["cam"])
     if "joints" in outputs:
-        outputs["pj2d"] = np.asarray(perspective_projection(
-            jnp.asarray(outputs["joints"]), jnp.asarray(outputs["cam_trans"]),
-            img_size=size))
+        outputs["pj2d"] = np_perspective_projection(
+            outputs["joints"], outputs["cam_trans"], img_size=size)
         keep = np_suppress_duplicates(
             outputs["pj2d"], outputs["cam"][:, 0], outputs["center_confs"],
             float(max(image.shape[:2])), settings.nms_thresh)

@@ -312,8 +312,7 @@ class InferenceServer:
     """
 
     def __init__(self, batcher: MicroBatcher, host: str = "127.0.0.1",
-                 port: int = 0, faces: Optional[np.ndarray] = None,
-                 crowd_settings=None):
+                 port: int = 0, crowd_settings=None):
         # crowd_settings (BEV batchers only): namespace with overlap_ratio /
         # nms_thresh / relative_scale_thresh / input_size. When set, images
         # with aspect >= 2 route through the sliding-window crowd pipeline

@@ -88,3 +88,31 @@ def test_crowd_mode_end_to_end():
         assert out["cam"].ndim == 2
         assert "pad_info" in out
         assert np.isfinite(out["cam_trans"]).all()
+
+
+def test_np_merge_twins_match_device_versions():
+    """The numpy twins used by the crowd merge (host-only math) must match
+    the jitted originals."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from romp_tpu.ops.projection import perspective_projection
+    from romp_tpu.pipeline.bev_pipeline import bev_cam_to_trans
+    from romp_tpu.pipeline.crowd import (
+        np_bev_cam_to_trans, np_perspective_projection,
+    )
+
+    rng = np.random.RandomState(0)
+    cam = rng.rand(7, 3).astype(np.float32) * 2 - 0.5
+    np.testing.assert_allclose(
+        np_bev_cam_to_trans(cam),
+        np.asarray(bev_cam_to_trans(jnp.asarray(cam))), rtol=1e-5, atol=1e-6)
+
+    pts = rng.randn(7, 24, 3).astype(np.float32)
+    trans = np_bev_cam_to_trans(cam)
+    np.testing.assert_allclose(
+        np_perspective_projection(pts, trans, img_size=512.0),
+        np.asarray(perspective_projection(jnp.asarray(pts),
+                                          jnp.asarray(trans),
+                                          img_size=512.0)),
+        rtol=1e-4, atol=1e-5)
