@@ -165,8 +165,11 @@ def test_webcam_socket_stream(tmp_path):
                 "cam_trans": np.ones((2, 3), np.float32),
                 "track_ids": np.array([3, 7], np.int32)}
 
+    connected = threading.Event()
+
     class Deferred(FakeStream):
-        """Sleeps before the first frame so the client can connect."""
+        """Holds the first frame until the consumer has connected (a fixed
+        sleep loses the race on a loaded 1-core box)."""
 
         def __init__(self):
             super().__init__(4)
@@ -174,7 +177,8 @@ def test_webcam_socket_stream(tmp_path):
 
         def read(self):
             if not self._waited:
-                time.sleep(0.5)
+                connected.wait(timeout=15)
+                time.sleep(0.25)      # let the accept thread register it
                 self._waited = True
             return super().read()
 
@@ -198,6 +202,7 @@ def test_webcam_socket_stream(tmp_path):
             except OSError:
                 time.sleep(0.05)
         assert cli is not None, "server never came up"
+        connected.set()
         while True:
             msg = cli.receive()
             if msg is None:
