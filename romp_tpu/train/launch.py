@@ -142,10 +142,20 @@ def run_trace_training(cfg, args) -> int:
         compute_dtype=cfg.train.compute_dtype)
     tparams = init_trace_params(key, clip_length=tc.clip_length,
                                 map_size=map_size)
+    import jax.numpy as jnp
+    import numpy as np
+
     mesh = make_mesh(cfg.mesh.n_devices, (cfg.mesh.data_axis,))
     state = replicate_tree(trace_init_train_state(tparams, ttcfg), mesh)
-    step_jit = jax.jit(lambda s, b: trace_train_step(s, b, ttcfg),
-                       donate_argnums=(0,))
+
+    # packed metrics + one-step-late consumption (same pipelining as
+    # Trainer.fit): ONE fetch per step instead of ~10 scalar round trips
+    def _packed(s, b):
+        s2, m = trace_train_step(s, b, ttcfg)
+        return s2, jnp.stack([m[k].astype(jnp.float32)
+                              for k in sorted(m)])
+
+    step_jit = jax.jit(_packed, donate_argnums=(0,))
 
     os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
     log_path = osp.join(cfg.train.checkpoint_dir, "trace_train_log.jsonl")
@@ -153,18 +163,48 @@ def run_trace_training(cfg, args) -> int:
     it = clip_batch_iterator(ds, feature_fn, flow_fn=flow_fn,
                              batch_size=cfg.train.batch_size,
                              seed=cfg.train.seed)
+    if cfg.train.num_workers > 0:
+        from romp_tpu.train.data.loader import PrefetchLoader
+
+        it = PrefetchLoader(
+            lambda seed: clip_batch_iterator(
+                ds, feature_fn, flow_fn=flow_fn,
+                batch_size=cfg.train.batch_size, seed=seed),
+            num_workers=cfg.train.num_workers,
+            prefetch=cfg.train.prefetch_batches, seed=cfg.train.seed)
     last = {}
-    for i, batch in enumerate(it):
-        if args.max_steps is not None and i >= args.max_steps:
-            break
-        batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
-        state, metrics = step_jit(state, batch)
-        last = {k: float(v) for k, v in metrics.items()}
-        if int(state.step) % cfg.train.log_every == 0:
-            rec = {"step": int(state.step), **last,
+    names = None
+    step0 = int(state.step)
+    n_done = 0
+    pending = None
+
+    def consume(packed, step, i):
+        nonlocal last
+        vals = np.asarray(packed)
+        last = dict(zip(names, vals.tolist()))
+        if step % cfg.train.log_every == 0:
+            rec = {"step": step, **last,
                    "steps_per_sec": round((i + 1) / (time.time() - t0), 3)}
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+
+    for i, batch in enumerate(it):
+        if args.max_steps is not None and i >= args.max_steps:
+            break
+        if names is None:
+            _, mshape = jax.eval_shape(
+                lambda s, b: trace_train_step(s, b, ttcfg), state, batch)
+            names = tuple(sorted(mshape))
+        batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
+        state, packed = step_jit(state, batch)
+        n_done += 1
+        if pending is not None:
+            consume(*pending)
+        pending = (packed, step0 + n_done, i)
+    if pending is not None:
+        consume(*pending)
+    if hasattr(it, "close"):
+        it.close()
     save_train_state(osp.join(cfg.train.checkpoint_dir, "trace_last.npz"),
                      state)
     print(f"trace training finished: {last}")
