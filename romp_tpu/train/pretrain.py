@@ -215,29 +215,54 @@ def main(input_args=None) -> int:
     params = init_pretrain_params(jax.random.PRNGKey(cfg.train.seed), pcfg,
                                   input_size=cfg.model.input_size)
     state = replicate_tree(init_pretrain_state(params, pcfg), mesh)
-    step_jit = jax.jit(lambda s, b: pretrain_step(s, b, pcfg),
-                       donate_argnums=(0,))
+    import jax.numpy as jnp
+    import numpy as np
+
+    # packed metrics + one-step-late consumption (the Trainer.fit
+    # pipelining): ONE fetch per step instead of a scalar round trip each
+    def _packed(s, b):
+        s2, m = pretrain_step(s, b, pcfg)
+        return s2, jnp.stack([m[k].astype(jnp.float32) for k in sorted(m)])
+
+    step_jit = jax.jit(_packed, donate_argnums=(0,))
 
     mixed = build_datasets(cfg)
     log_path = osp.join(cfg.train.checkpoint_dir, "pretrain_log.jsonl")
     t0 = time.time()
+    names = None
+    step0 = int(state.step)
+    n_done = 0
+    pending = None
+
+    def consume(packed, step, i):
+        vals = np.asarray(packed)
+        if step % cfg.train.log_every == 0:
+            rec = {"step": step, **dict(zip(names, vals.tolist())),
+                   "steps_per_sec": round((i + 1) / (time.time() - t0), 3)}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
     for i, batch in enumerate(batch_iterator(mixed, cfg.train.batch_size,
                                              seed=cfg.train.seed)):
         if args.max_steps is not None and i >= args.max_steps:
             break
         batch = {k: batch[k] for k in ("image", "kp2d_gt", "person_centers",
                                        "person_bbox_hw", "person_mask")}
+        if names is None:
+            _, mshape = jax.eval_shape(
+                lambda s, b: pretrain_step(s, b, pcfg), state, batch)
+            names = tuple(sorted(mshape))
         batch = shard_batch(batch, mesh, cfg.mesh.data_axis)
-        state, metrics = step_jit(state, batch)
-        if int(state.step) % cfg.train.log_every == 0:
-            rec = {"step": int(state.step),
-                   **{k: float(v) for k, v in metrics.items()},
-                   "steps_per_sec": round((i + 1) / (time.time() - t0), 3)}
-            with open(log_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+        state, packed = step_jit(state, batch)
+        n_done += 1
+        if pending is not None:
+            consume(*pending)
+        pending = (packed, step0 + n_done, i)
+    if pending is not None:
+        consume(*pending)
     save_train_state(osp.join(cfg.train.checkpoint_dir, "pretrain_last.npz"),
                      state)
-    print(f"pretrain finished at step {int(state.step)}")
+    print(f"pretrain finished at step {step0 + n_done}")
     return 0
 
 
