@@ -293,8 +293,15 @@ def _send_msg(sock: socket.socket, header: Dict, payload: bytes = b""):
     sock.sendall(struct.pack(">II", len(h), len(payload)) + h + payload)
 
 
+MAX_HEADER_BYTES = 1 << 20      # 1 MB of JSON header
+MAX_PAYLOAD_BYTES = 1 << 28     # 256 MB image/result payload
+
+
 def _recv_msg(sock: socket.socket):
     hlen, plen = struct.unpack(">II", _read_exact(sock, 8))
+    if hlen > MAX_HEADER_BYTES or plen > MAX_PAYLOAD_BYTES:
+        raise ConnectionError(
+            f"oversized message (header {hlen}, payload {plen} bytes)")
     header = json.loads(_read_exact(sock, hlen))
     payload = _read_exact(sock, plen) if plen else b""
     return header, payload
@@ -419,10 +426,15 @@ class InferenceServer:
 
 
 class InferenceClient:
-    """Minimal blocking client for InferenceServer."""
+    """Minimal blocking client for InferenceServer.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 8011):
-        self._sock = socket.create_connection((host, port))
+    timeout: per-socket-op seconds (None = block forever). Remember the
+    FIRST request of a new batch size pays the server's XLA compile unless
+    the server was started with --precompile."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8011,
+                 timeout: Optional[float] = None):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
 
     def infer(self, bgr_image: np.ndarray) -> Dict[str, np.ndarray]:
         img = np.ascontiguousarray(bgr_image, np.uint8)
