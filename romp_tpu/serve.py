@@ -335,6 +335,18 @@ class InferenceServer:
                 try:
                     while True:
                         header, payload = _recv_msg(self.request)
+                        if header.get("cmd") == "stats":
+                            b = outer.batcher
+                            _send_msg(self.request, {
+                                "ok": True,
+                                "batches_run": b.batches_run,
+                                "items_run": b.items_run,
+                                "avg_batch": round(
+                                    b.items_run / max(1, b.batches_run), 2),
+                                "batch_sizes": b.sizes,
+                                "queue_depth": b._q.qsize(),
+                            })
+                            continue
                         t0 = time.perf_counter()
                         try:
                             result = outer._infer(header, payload)
@@ -445,6 +457,14 @@ class InferenceClient:
             raise RuntimeError(header.get("error", "inference failed"))
         data = np.load(io.BytesIO(payload))
         return {k: data[k] for k in data.files}
+
+    def stats(self) -> Dict:
+        """Server-side batching counters (capacity planning)."""
+        _send_msg(self._sock, {"cmd": "stats"})
+        header, _ = _recv_msg(self._sock)
+        if not header.get("ok"):
+            raise RuntimeError(header.get("error", "stats failed"))
+        return {k: v for k, v in header.items() if k != "ok"}
 
     def close(self):
         self._sock.close()

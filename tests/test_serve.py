@@ -301,6 +301,16 @@ def test_bev_service_end_to_end():
         server.close()
 
 
+def test_stats_command(romp_server):
+    c = InferenceClient(port=romp_server.port)
+    img = (np.random.RandomState(1).rand(32, 48, 3) * 255).astype(np.uint8)
+    c.infer(img)
+    s = c.stats()
+    c.close()
+    assert s["items_run"] >= 1 and s["batches_run"] >= 1
+    assert s["avg_batch"] >= 1.0 and s["batch_sizes"] == [1, 2, 4]
+
+
 def test_serve_error_reporting(romp_server):
     """A malformed request yields an error response, not a hung socket."""
     import socket
