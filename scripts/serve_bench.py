@@ -79,6 +79,11 @@ def main():
     ap.add_argument("--per_client", type=int, default=20)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--window_ms", type=float, default=3.0)
+    ap.add_argument("--fetch_slots", type=int, default=8,
+                    help="person slots fetched+returned per request; with "
+                         "conf_thresh=-inf every slot is 'valid', so this "
+                         "sets the response payload (meshes/request) — 8 is "
+                         "the worst case, 2 a realistic crowd")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +100,8 @@ def main():
     size = 64 if args.check else 512
     params = init_romp_params(jax.random.PRNGKey(0), input_size=size)
     smpl = SmplModel.from_assets(synthetic_assets(seed=0))
-    cfg = RompConfig(input_size=size, conf_thresh=-1e9, fetch_slots=8,
+    cfg = RompConfig(input_size=size, conf_thresh=-1e9,
+                     fetch_slots=args.fetch_slots,
                      compute_dtype="bfloat16", act_dtype="float32",
                      transfer_dtype="float16")
     batcher = make_romp_service(params, smpl, cfg,
