@@ -112,20 +112,26 @@ def main():
     flow_fast = make_trace_flow_fn(raft_params, iters=12,
                                    compute_dtype="bfloat16",
                                    flow_input_size=256)
-    for name, ffn, tcfg in (
-            ("trace_clip8", flow_fn, cfg),
-            ("trace_clip8_mixed", flow_fn, cfg_mixed),
-            ("trace_clip8_fastflow", flow_fast, cfg),
-            ("trace_clip8_zeroflow", None, cfg)):
+    for name, ffn, tcfg, fb in (
+            ("trace_clip8", flow_fn, cfg, 1),
+            ("trace_clip8_fb2", flow_fn, cfg, 2),
+            ("trace_clip8_mixed", flow_fn, cfg_mixed, 1),
+            ("trace_clip8_fastflow", flow_fast, cfg, 1),
+            ("trace_clip8_zeroflow", None, cfg, 1)):
         pipe = TracePipeline(tparams, adult, baby, tcfg, sc, flow_fn=ffn)
         pipe.process_clip(frames)          # compile
 
         # throughput mode = the pipelined stream the CLI uses (device
         # frontend of clip k+1 overlaps host backend of clip k)
         n_stream = 6
+        if fb > 1:  # warm the batched-frontend shapes (fb*8 frames/call)
+            for _ in pipe.process_stream((frames for _ in range(fb)),
+                                         frontend_batch=fb):
+                pass
 
         def run_stream():
-            for _ in pipe.process_stream(frames for _ in range(n_stream)):
+            for _ in pipe.process_stream((frames for _ in range(n_stream)),
+                                         frontend_batch=fb):
                 pass
 
         t = _measure(run_stream, iters=3, warmup=1) / n_stream
@@ -136,6 +142,8 @@ def main():
             note += "; bf16-act fast path (opt-in)"
         if ffn is flow_fast:
             note += "; half-res bf16 RAFT (--flow_size 256, opt-in)"
+        if fb > 1:
+            note += f"; backbone+flow batched over {fb} clips (--frontend_batch)"
         results.append({"model": name, "batch": 8,
                         "img_s": round(8 / t, 1),
                         "p50_clip_ms": round(t * 1e3, 1),

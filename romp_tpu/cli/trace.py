@@ -52,6 +52,12 @@ def trace_settings(input_args=None):
                              "autocast (raft.py:95-96) so float32 is the "
                              "parity default; bfloat16 halves the biggest "
                              "tensor RAFT touches (opt-in, ~3% faster).")
+    parser.add_argument("--frontend_batch", type=int, default=1,
+                        help="batch the backbone+flow device frontend over "
+                             "this many consecutive clips (dispatch_clips): "
+                             "amortizes per-call launch latency for offline "
+                             "sequences; results are bit-identical, latency "
+                             "grows by one clip per increment.")
     args = parser.parse_args(input_args)
     args.calc_smpl = True
     return args

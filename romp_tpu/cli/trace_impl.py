@@ -120,7 +120,10 @@ def run_trace(settings) -> int:
         for s in starts:
             yield pipe.prefetch(decode_chunk(s))
 
-    for start, out in zip(starts, pipe.process_stream(clip_iter())):
+    fb = max(1, int(getattr(settings, "frontend_batch", 1)))
+    for start, out in zip(starts,
+                          pipe.process_stream(clip_iter(),
+                                              frontend_batch=fb)):
         if out is None:
             continue
         for row in range(len(out["track_ids"])):

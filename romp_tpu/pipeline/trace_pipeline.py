@@ -321,6 +321,63 @@ class TracePipeline:
         self._tick("maps_dispatch", t0)
         return {"maps": maps, "det_pack": det_pack, "T": T}
 
+    def dispatch_clips(self, frames_list) -> List[Dict]:
+        """Batched device frontend over CONSECUTIVE clips.
+
+        The backbone is per-frame and flow is per-frame-pair, so both run
+        once over the concatenated frames of all clips — amortizing the
+        per-call dispatch/launch latency that dominates small-batch stages
+        on a tunneled device — while the ConvGRU maps stage (whose hidden
+        state is recurrent across clips) stays sequential per clip.
+        Bit-identical to dispatch_clip called in order: the pair list of
+        the concatenated flow call (prev_clip_last, A0), (A0, A1), ...,
+        (A_last, B0), ... is exactly the sequence the per-clip calls build.
+        """
+        import time as _time
+
+        if len(frames_list) == 1:
+            return [self.dispatch_clip(frames_list[0])]
+        cfg = self.cfg
+        devs = [f if isinstance(f, jnp.ndarray) else self.prefetch(f)
+                for f in frames_list]
+        Ts = [int(d.shape[0]) for d in devs]
+        offs = np.concatenate([[0], np.cumsum(Ts)])
+        t0 = _time.perf_counter()
+        frames_cat = jnp.concatenate(devs, axis=0)
+        feats_cat = trace_extract_features(self.params, frames_cat, None,
+                                           cfg)
+        t0 = self._tick("backbone", t0, sync=feats_cat[0, 0, 0, 0])
+        flows_cat = None
+        if self.flow_fn is not None:
+            prev0 = (self.last_frame if self.last_frame is not None
+                     else devs[0][:1])
+            frames_prev = jnp.concatenate([prev0, frames_cat[:-1]], axis=0)
+            flows_cat = self.flow_fn(frames_prev, frames_cat)
+            t0 = self._tick("flow", t0, sync=flows_cat[0, 0, 0, 0])
+        self.last_frame = devs[-1][-1:]
+
+        handles = []
+        for i, T in enumerate(Ts):
+            feats = feats_cat[offs[i]:offs[i + 1]]
+            if flows_cat is not None:
+                flows = flows_cat[offs[i]:offs[i + 1]]
+            else:
+                if getattr(self, "_zero_flows", None) is None \
+                        or self._zero_flows.shape[0] != T:
+                    self._zero_flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
+                flows = self._zero_flows
+            if self.last_feature_map is None:
+                feats_full = jnp.concatenate([feats[:1], feats], axis=0)
+            else:
+                feats_full = jnp.concatenate(
+                    [self.last_feature_map[None], feats], axis=0)
+            self.last_feature_map = feats[-1]
+            maps, self.hidden, det_pack = trace_maps_and_detect(
+                self.params, feats_full, flows, self.hidden, cfg)
+            handles.append({"maps": maps, "det_pack": det_pack, "T": T})
+        self._tick("maps_dispatch", t0)
+        return handles
+
     def collect_clip(self, handles: Dict) -> Optional[Dict[str, np.ndarray]]:
         """Host backend for a dispatched clip: fetch detections, track,
         regress trajectories, smooth, SMPL, fetch results."""
@@ -438,22 +495,35 @@ class TracePipeline:
         throughput over a whole sequence use process_stream."""
         return self.collect_clip(self.dispatch_clip(frames))
 
-    def process_stream(self, clips, depth: int = 1):
+    def process_stream(self, clips, depth: int = 1,
+                       frontend_batch: int = 1):
         """Pipelined driver over an iterable of clips: the device computes
         clip k+1's frontend (backbone/flow/maps — the bulk of the device
         work) while the host runs clip k's tracking/smoothing backend.
 
+        frontend_batch > 1 additionally batches the backbone + flow of
+        that many consecutive clips into single device calls
+        (dispatch_clips) — higher throughput for offline sequences at the
+        cost of one extra clip of latency per increment.
+
         The cross-clip recurrences (GRU hidden, tracker, memory5D) stay
-        exact: dispatch_clip only consumes device-side state already
-        produced by the previous dispatch, and collect_clip consumes host
-        state in clip order. Yields one result dict (or None) per clip.
+        exact: dispatch only consumes device-side state already produced
+        by the previous dispatch, and collect_clip consumes host state in
+        clip order. Yields one result dict (or None) per clip, in order.
         """
         from collections import deque
 
         inflight: deque = deque()
+        group: List = []
+        depth = max(depth, frontend_batch)
         for clip in clips:
-            inflight.append(self.dispatch_clip(clip))
+            group.append(clip)
+            if len(group) >= max(1, frontend_batch):
+                inflight.extend(self.dispatch_clips(group))
+                group = []
             while len(inflight) > depth:
                 yield self.collect_clip(inflight.popleft())
+        if group:
+            inflight.extend(self.dispatch_clips(group))
         while inflight:
             yield self.collect_clip(inflight.popleft())

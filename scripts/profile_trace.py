@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--pipelined", action="store_true",
                     help="measure process_stream throughput (no per-stage "
                          "breakdown — stage syncs would serialize it)")
+    ap.add_argument("--frontend_batch", type=int, default=1,
+                    help="batch backbone+flow over this many consecutive "
+                         "clips (pipelined mode only)")
     args = ap.parse_args()
 
     import jax
@@ -55,12 +58,20 @@ def main():
     pipe.process_clip(frames)
     pipe.process_clip(frames)
     if args.pipelined:
+        fb = max(1, args.frontend_batch)
+        if fb > 1:
+            # warm the batched-frontend shapes (fb*8 frames per call)
+            for _ in pipe.process_stream((frames for _ in range(fb)),
+                                         frontend_batch=fb):
+                pass
         t0 = time.perf_counter()
-        for _ in pipe.process_stream(frames for _ in range(args.clips)):
+        for _ in pipe.process_stream((frames for _ in range(args.clips)),
+                                     frontend_batch=fb):
             pass
         total_ms = (time.perf_counter() - t0) / args.clips * 1e3
         print(json.dumps({"device": str(jax.devices()[0]),
                           "flow": bool(args.flow), "pipelined": True,
+                          "frontend_batch": fb,
                           "total_ms_per_clip": round(total_ms, 1),
                           "fps": round(8 / (total_ms / 1e3), 1)}, indent=1))
         return

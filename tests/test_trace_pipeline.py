@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from romp_tpu.pipeline.trace_tracking import (
     Memory5D, SeqConfig, assemble_trajectories, gate_features_with_memory,
@@ -138,3 +139,65 @@ def test_trace_pipeline_end_to_end_smoke():
         for k in ref:
             np.testing.assert_array_equal(
                 np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
+
+    # batched frontend (backbone over both clips in one call) must also be
+    # bit-identical: the backbone is per-frame, so concatenation cannot
+    # change its math, and the GRU maps stage still runs per clip in order
+    pipe3 = TracePipeline(params, adult, baby, cfg, SC(**seq_cfg_kwargs))
+    bouts = list(pipe3.process_stream([frames, frames], frontend_batch=2))
+    assert len(bouts) == 2
+    for ref, got in ((out1, bouts[0]), (out2, bouts[1])):
+        assert got is not None
+        for k in ref:
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
+
+
+def test_dispatch_clips_flow_pairing_bitexact(monkeypatch):
+    """dispatch_clips with a flow_fn builds the concatenated pair list
+    (prev_last, A0), (A0, A1), ..., (A_last, B0), ... — exactly what the
+    per-clip calls produce. Uses a cheap stand-in backbone so the test
+    exercises the pairing/split logic, not HRNet."""
+    import romp_tpu.pipeline.trace_pipeline as tp
+    from romp_tpu.models.trace import init_trace_params
+    from romp_tpu.pipeline.trace_pipeline import TraceConfig, TracePipeline
+    from romp_tpu.pipeline.trace_tracking import SeqConfig as SC
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    @jax.jit
+    def fake_feats(frames):
+        x = jax.image.resize(frames.astype(jnp.float32) / 255.0,
+                             (frames.shape[0], 128, 128, 3), "bilinear")
+        return jnp.tile(x, (1, 1, 1, 11))[..., :32]
+
+    monkeypatch.setattr(tp, "trace_extract_features",
+                        lambda p, f, u, c: fake_feats(f))
+
+    @jax.jit
+    def flow_fn(prev, cur):
+        d = jax.image.resize((cur - prev).astype(jnp.float32),
+                             (cur.shape[0], tp.OUTMAP, tp.OUTMAP, 3),
+                             "bilinear")
+        return d[..., :2] * 0.01
+
+    params = init_trace_params(jax.random.PRNGKey(0), clip_length=2)
+    adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
+    baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
+    cfg = TraceConfig(temp_clip_length=2, max_person=4, conf_thresh=-1e9)
+    kw = dict(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
+              tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
+
+    rng = np.random.RandomState(3)
+    f1 = rng.rand(2, 512, 512, 3).astype(np.float32) * 255.0
+    f2 = rng.rand(2, 512, 512, 3).astype(np.float32) * 255.0
+
+    pa = TracePipeline(params, adult, baby, cfg, SC(**kw), flow_fn=flow_fn)
+    ref = [pa.process_clip(f1), pa.process_clip(f2)]
+    pb = TracePipeline(params, adult, baby, cfg, SC(**kw), flow_fn=flow_fn)
+    got = [pb.collect_clip(h) for h in pb.dispatch_clips([f1, f2])]
+    for r, g in zip(ref, got):
+        assert r is not None and g is not None
+        for k in r:
+            np.testing.assert_array_equal(
+                np.asarray(r[k]), np.asarray(g[k]), err_msg=k)
