@@ -12,6 +12,7 @@ CPU check:   JAX_PLATFORMS=cpu python scripts/serve_bench.py --check
 """
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -112,6 +113,7 @@ def main():
     batcher.precompile()
     print(f"precompiled in {time.time() - t0:.0f}s", flush=True)
     server = InferenceServer(batcher)
+    rows = []
     try:
         levels = [int(x) for x in args.levels.split(",")]
         if args.check:
@@ -119,9 +121,19 @@ def main():
         for n in levels:
             row = run_level(server.port, n, args.per_client)
             row["batches_run"] = batcher.batches_run
+            rows.append(row)
             print(json.dumps(row), flush=True)
     finally:
         server.close()
+    if not args.check and rows:
+        out = {"backend": jax.default_backend(),
+               "max_batch": args.max_batch, "window_ms": args.window_ms,
+               "fetch_slots": args.fetch_slots, "levels": rows}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SERVE_BENCH.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
