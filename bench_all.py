@@ -29,14 +29,26 @@ def _measure(fn, iters=8, warmup=2):
     return float(np.median(ts))
 
 
-def _merge_and_write(results):
+def _merge_and_write(results, partial):
+    """Full runs overwrite BENCH_ALL.json (so renamed/removed configs are
+    pruned); partial (--only) runs merge into the existing rows. A corrupt
+    or malformed existing file ABORTS a partial run rather than silently
+    discarding the rows the merge was meant to preserve."""
+    if not partial:
+        with open(BENCH_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+        return
     old = []
     if os.path.exists(BENCH_PATH):
-        try:
-            with open(BENCH_PATH) as f:
-                old = json.load(f)
-        except Exception:
-            old = []
+        with open(BENCH_PATH) as f:
+            old = json.load(f)  # JSONDecodeError propagates: abort, don't drop
+        if (not isinstance(old, list)
+                or any(not isinstance(r, dict) or "model" not in r
+                       for r in old)):
+            raise SystemExit(
+                f"{BENCH_PATH} is not a list of rows with 'model' keys; "
+                "refusing to merge a partial run into it (fix or delete "
+                "the file, or run without --only).")
     new_by_model = {r["model"]: r for r in results}
     merged = [new_by_model.pop(r["model"], r) for r in old]
     merged.extend(r for r in results if r["model"] in new_by_model)
@@ -51,6 +63,11 @@ def main():
                          "(default: all)")
     args = ap.parse_args()
     only = {s.strip() for s in args.only.split(",") if s.strip()}
+    known = {"romp", "bev", "trace", "train"}
+    unknown = only - known
+    if unknown:
+        raise SystemExit(f"unknown --only section(s) {sorted(unknown)}; "
+                         f"valid: {sorted(known)}")
 
     def want(section):
         return not only or section in only
@@ -231,7 +248,7 @@ def main():
                                 "objective incl. GMM prior"})
         print(json.dumps(results[-1]), flush=True)
 
-    _merge_and_write(results)
+    _merge_and_write(results, partial=bool(only))
 
 
 if __name__ == "__main__":

@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--per_client", type=int, default=20)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--window_ms", type=float, default=3.0)
+    ap.add_argument("--host_note", default="",
+                    help="free-text description of the host/chip setup, "
+                         "stored alongside the raw jax.default_backend() id "
+                         "in SERVE_BENCH.json (the 'backend' field is always "
+                         "the machine-generated platform id)")
     ap.add_argument("--fetch_slots", type=int, default=8,
                     help="person slots fetched+returned per request; with "
                          "conf_thresh=-inf every slot is 'valid', so this "
@@ -127,6 +132,7 @@ def main():
         server.close()
     if not args.check and rows:
         out = {"backend": jax.default_backend(),
+               "host_note": args.host_note,
                "max_batch": args.max_batch, "window_ms": args.window_ms,
                "fetch_slots": args.fetch_slots, "levels": rows}
         path = os.path.join(os.path.dirname(os.path.dirname(
