@@ -30,18 +30,24 @@ BLOCKS_PER_BRANCH = 4
 
 
 def _branch(store: ParamStore, prefix: str, x: jax.Array,
-            planes: int) -> jax.Array:
-    for b in range(BLOCKS_PER_BRANCH):
+            planes: int, blocks: int = BLOCKS_PER_BRANCH) -> jax.Array:
+    if getattr(store, "fuse_chains", False):
+        from romp_tpu.ops.pallas_fuse import fused_chain_from_store
+
+        return fused_chain_from_store(store, prefix, x, planes, blocks)
+    for b in range(blocks):
         x = basic_block(store, f"{prefix}.{b}", x, planes)
     return x
 
 
 def hr_module(store: ParamStore, prefix: str, xs: List[jax.Array],
               channels: Sequence[int],
-              multi_scale_output: bool = True) -> List[jax.Array]:
+              multi_scale_output: bool = True,
+              blocks: int = BLOCKS_PER_BRANCH) -> List[jax.Array]:
     """One HighResolutionModule: per-branch blocks + all-to-all fusion."""
     nb = len(channels)
-    xs = [_branch(store, f"{prefix}.branches.{j}", xs[j], channels[j])
+    xs = [_branch(store, f"{prefix}.branches.{j}", xs[j], channels[j],
+                  blocks=blocks)
           for j in range(nb)]
     outs = []
     for i in range(nb if multi_scale_output else 1):
@@ -108,26 +114,31 @@ def _seg_stem(store: ParamStore, xs, prefix: str):
     return [x]
 
 
-def _seg_stage2(store: ParamStore, xs, prefix: str):
+def _seg_stage2(store: ParamStore, xs, prefix: str,
+                blocks: int = BLOCKS_PER_BRANCH):
     xs = _transition(store, f"{prefix}.transition1", xs, (256,),
                      STAGE2_CHANNELS)
-    return hr_module(store, f"{prefix}.stage2.0", xs, STAGE2_CHANNELS)
+    return hr_module(store, f"{prefix}.stage2.0", xs, STAGE2_CHANNELS,
+                     blocks=blocks)
 
 
-def _seg_stage3(store: ParamStore, ys, prefix: str, modules: int = 4):
+def _seg_stage3(store: ParamStore, ys, prefix: str, modules: int = 4,
+                blocks: int = BLOCKS_PER_BRANCH):
     xs = _transition(store, f"{prefix}.transition2", ys, STAGE2_CHANNELS,
                      STAGE3_CHANNELS)
     for m in range(modules):
-        xs = hr_module(store, f"{prefix}.stage3.{m}", xs, STAGE3_CHANNELS)
+        xs = hr_module(store, f"{prefix}.stage3.{m}", xs, STAGE3_CHANNELS,
+                       blocks=blocks)
     return xs
 
 
-def _seg_stage4(store: ParamStore, xs, prefix: str, modules: int = 3):
+def _seg_stage4(store: ParamStore, xs, prefix: str, modules: int = 3,
+                blocks: int = BLOCKS_PER_BRANCH):
     xs = _transition(store, f"{prefix}.transition3", xs, STAGE3_CHANNELS,
                      STAGE4_CHANNELS)
     for m in range(modules):
         xs = hr_module(store, f"{prefix}.stage4.{m}", xs, STAGE4_CHANNELS,
-                       multi_scale_output=(m != modules - 1))
+                       multi_scale_output=(m != modules - 1), blocks=blocks)
     return [xs[0]]
 
 
@@ -148,16 +159,19 @@ def hrnet_w32_segments(prefix: str = "backbone"):
 
 
 def hrnet_w32_tiny_segments(prefix: str = "backbone"):
-    """Depth-reduced HRNet (1 module in stages 3/4 instead of 4/3): the SAME
-    branch/transition/fuse structure and parameter-name scheme, ~2.5x fewer
-    convs. For compile-budgeted correctness checks (multi-chip dryruns) —
-    NOT checkpoint-compatible with released weights."""
+    """Depth-reduced HRNet (1 module in stages 3/4 instead of 4/3, 2 blocks
+    per branch instead of 4): the SAME branch/transition/fuse structure and
+    parameter-name scheme, ~5x fewer convs. For compile-budgeted correctness
+    checks (multi-chip dryruns) — NOT checkpoint-compatible with released
+    weights."""
     import functools
 
     return [functools.partial(_seg_stem, prefix=prefix),
-            functools.partial(_seg_stage2, prefix=prefix),
-            functools.partial(_seg_stage3, prefix=prefix, modules=1),
-            functools.partial(_seg_stage4, prefix=prefix, modules=1)]
+            functools.partial(_seg_stage2, prefix=prefix, blocks=2),
+            functools.partial(_seg_stage3, prefix=prefix, modules=1,
+                              blocks=2),
+            functools.partial(_seg_stage4, prefix=prefix, modules=1,
+                              blocks=2)]
 
 
 def hrnet_w32(store: ParamStore, x: jax.Array,

@@ -42,11 +42,17 @@ class ParamStore:
                  rng: Optional[jax.Array] = None,
                  train: bool = False,
                  compute_dtype=jnp.float32,
-                 act_dtype=None):
+                 act_dtype=None,
+                 fuse_chains: bool = False):
         self.init_mode = params is None
         self.params: Params = {} if params is None else params
         self.rng = rng
         self.train = train
+        # fuse_chains: inference-only — run stride-1 BasicBlock chains
+        # through the Pallas fused kernel (ops/pallas_fuse.py): one
+        # HBM read + one write per chain instead of per conv, bf16 MXU
+        # matmuls with f32 accumulation/BN math (the mixed-path numerics).
+        self.fuse_chains = fuse_chains and params is not None and not train
         self.compute_dtype = compute_dtype
         # act_dtype: dtype activations are KEPT in between layers. Defaults
         # to f32 (conv accumulations returned in f32, BN in f32 — the parity

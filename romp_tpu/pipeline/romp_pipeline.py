@@ -54,6 +54,11 @@ class RompConfig:
     # interactive path; crowd images use the BEV crowd pipeline) are
     # dropped, most-confident kept.
     fetch_slots: int = 0
+    # Run HRNet branch BasicBlock chains through the Pallas fused kernel
+    # (ops/pallas_fuse.py): one HBM round trip per 4-block chain instead of
+    # per conv + 2x better MXU lane occupancy on the thin branches.
+    # Same mixed-path numerics (bf16 matmuls, f32 BN/residual math).
+    fuse_chains: bool = False
 
 
 def unpack_params(params_pred: jax.Array, cam_scale_base: float) -> Dict[str, jax.Array]:
@@ -86,7 +91,8 @@ def romp_inference(params: Dict[str, jax.Array], smpl: SmplModel,
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     at = jnp.bfloat16 if cfg.act_dtype == "bfloat16" else jnp.float32
-    store = ParamStore(params, compute_dtype=dt, act_dtype=at)
+    store = ParamStore(params, compute_dtype=dt, act_dtype=at,
+                       fuse_chains=cfg.fuse_chains)
     center_maps, params_maps = romp_forward(store, images,
                                             backbone=cfg.backbone)
     center_maps = center_maps.astype(jnp.float32)
