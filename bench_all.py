@@ -166,7 +166,8 @@ def main():
         # with an f32 correlation volume (raft.py:93-104), which is
         # exactly this mode.
         flow_fn = make_trace_flow_fn(raft_params, iters=20,
-                                     compute_dtype="bfloat16")
+                                     compute_dtype="bfloat16",
+                                     sequence=True)
         frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
         cfg_mixed = TraceConfig(temp_clip_length=8, max_person=8,
                                 conf_thresh=-1e9, compute_dtype="bfloat16",
@@ -174,7 +175,7 @@ def main():
                                 transfer_dtype="float16")
         flow_fast = make_trace_flow_fn(raft_params, iters=12,
                                        compute_dtype="bfloat16",
-                                       flow_input_size=256)
+                                       flow_input_size=256, sequence=True)
         for name, ffn, tcfg, fb in (
                 ("trace_clip8", flow_fn, cfg, 1),
                 ("trace_clip8_fb2", flow_fn, cfg, 2),

@@ -92,7 +92,10 @@ def run_trace(settings) -> int:
             raft_params, iters=getattr(settings, "raft_iters", 20),
             compute_dtype=getattr(settings, "flow_dtype", "bfloat16"),
             flow_input_size=getattr(settings, "flow_size", 512),
-            corr_dtype=getattr(settings, "corr_dtype", "float32"))
+            corr_dtype=getattr(settings, "corr_dtype", "float32"),
+            # streaming default: fnet shared over the clip's unique frames
+            # (same outputs, ~1/3 less encoder compute per clip)
+            sequence=getattr(settings, "flow_sequence", True))
     else:
         print("RAFT weights not found; running TRACE with zero optical flow",
               file=sys.stderr)

@@ -213,20 +213,17 @@ def upsample_flow_convex(flow: jax.Array, mask: jax.Array) -> jax.Array:
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * H, 8 * W, 2)
 
 
-def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
-                 iters: int = 12,
-                 corr_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
-    """RGB images (B, H, W, 3) in [0, 255] -> (flow_low, flow_up).
+def raft_refine(store: ParamStore, fmap1: jax.Array, fmap2: jax.Array,
+                cnet: jax.Array, iters: int,
+                corr_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Shared refinement body: encoder outputs -> (flow_low, flow_up).
 
-    flow_low: (B, H/8, W/8, 2); flow_up: (B, H, W, 2), both (dx, dy).
+    fmap1/fmap2: (B, H, W, 256) fnet features of the frame pairs; cnet:
+    (B, H, W, HDIM+CDIM) context features of frame 1. Split out of
+    raft_forward so the sequence formulation (fnet shared across
+    overlapping pairs, see raft_forward_seq) reuses the exact same math.
     """
-    image1 = 2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0
-    image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
-    fmap1 = basic_encoder(store, "fnet", image1, 256, "instance")
-    fmap2 = basic_encoder(store, "fnet", image2, 256, "instance")
     pyramid = build_corr_pyramid(fmap1, fmap2, out_dtype=corr_dtype)
-
-    cnet = basic_encoder(store, "cnet", image1, HDIM + CDIM, "batch")
     net = jnp.tanh(cnet[..., :HDIM])
     inp = jax.nn.relu(cnet[..., HDIM:])
 
@@ -260,6 +257,43 @@ def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
     return coords1 - coords0, flow_up
 
 
+def raft_forward(store: ParamStore, image1: jax.Array, image2: jax.Array,
+                 iters: int = 12,
+                 corr_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """RGB images (B, H, W, 3) in [0, 255] -> (flow_low, flow_up).
+
+    flow_low: (B, H/8, W/8, 2); flow_up: (B, H, W, 2), both (dx, dy).
+    """
+    image1 = 2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0
+    image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
+    fmap1 = basic_encoder(store, "fnet", image1, 256, "instance")
+    fmap2 = basic_encoder(store, "fnet", image2, 256, "instance")
+    cnet = basic_encoder(store, "cnet", image1, HDIM + CDIM, "batch")
+    return raft_refine(store, fmap1, fmap2, cnet, iters, corr_dtype)
+
+
+def raft_forward_seq(store: ParamStore, frames_seq: jax.Array,
+                     iters: int = 12,
+                     corr_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Flow over CONSECUTIVE frames: (T+1, H, W, 3) in [0, 255] ->
+    (flow_low, flow_up) for the T pairs (t, t+1).
+
+    The pairwise entry (raft_forward) runs fnet on both `prev` and `cur`
+    stacks, but in a video stream those overlap: frame t is pair t's `cur`
+    AND pair t+1's `prev`, so 2T-1 of the 2T fnet passes hit only T+1
+    unique frames. Here fnet runs ONCE over the unique frames and the pair
+    features are slices — same per-frame math (fnet/instance-norm are
+    per-sample), ~1/3 less encoder compute per clip. cnet runs on the T
+    `prev` frames exactly as the reference does (`trace2/models/raft/
+    raft.py` context branch on image1).
+    """
+    imgs = 2.0 * (frames_seq.astype(jnp.float32) / 255.0) - 1.0
+    fmaps = basic_encoder(store, "fnet", imgs, 256, "instance")
+    cnet = basic_encoder(store, "cnet", imgs[:-1], HDIM + CDIM, "batch")
+    return raft_refine(store, fmaps[:-1], fmaps[1:], cnet, iters,
+                       corr_dtype)
+
+
 def filter_raft_state_dict(params: dict) -> dict:
     """Drop torch's duplicate `downsample.1` norm aliases (same tensors as
     `norm3`) from a converted RAFT checkpoint."""
@@ -270,7 +304,8 @@ def make_trace_flow_fn(raft_params: dict, iters: int = 20,
                        out_size: int = 128,
                        compute_dtype: str = "float32",
                        flow_input_size: int = 512,
-                       corr_dtype: str = "float32"):
+                       corr_dtype: str = "float32",
+                       sequence: bool = False):
     """Flow extractor for TRACE, matching the reference FlowExtract
     (`trace2/models/raft/process.py:17-28`): RAFT at full 512 resolution,
     bilinearly resized to 128x128 and divided by 8 (flow-vector units on the
@@ -285,24 +320,55 @@ def make_trace_flow_fn(raft_params: dict, iters: int = 20,
     volume 16x) and the flow vectors are rescaled back to 512-equivalent
     units, so downstream consumers see the same convention. Parity default
     stays 512.
+
+    sequence=True returns a fn over ONE stacked frame sequence
+    (T+1, H, W, 3) -> flows for the T consecutive pairs, running fnet once
+    per unique frame instead of twice (raft_forward_seq). The returned fn
+    carries `.takes_sequence = True` so TracePipeline picks the right call
+    convention. Same math, same outputs (tested), less encoder compute —
+    this is the streaming default.
     """
     dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     cdt = jnp.bfloat16 if corr_dtype == "bfloat16" else jnp.float32
     S = flow_input_size
 
-    @jax.jit
-    def flow_fn(frames_prev, frames_cur):
-        store = ParamStore(raft_params, compute_dtype=dt, act_dtype=dt)
-        if S != frames_prev.shape[1]:
-            rs = lambda f: jax.image.resize(
-                f.astype(jnp.float32), (f.shape[0], S, S, 3), "bilinear")
-            frames_prev, frames_cur = rs(frames_prev), rs(frames_cur)
-        _, flow_up = raft_forward(store, frames_prev, frames_cur,
-                                  iters=iters, corr_dtype=cdt)
+    def _postprocess(flow_up):
         flow_up = flow_up.astype(jnp.float32)
         flow = jax.image.resize(
             flow_up, (flow_up.shape[0], out_size, out_size, 2), "bilinear")
         return flow * (512.0 / S) / 8.0
+
+    def _resize(f):
+        return jax.image.resize(
+            f.astype(jnp.float32), (f.shape[0], S, S, 3), "bilinear")
+
+    if sequence:
+        @jax.jit
+        def _seq_impl(frames_seq):
+            store = ParamStore(raft_params, compute_dtype=dt, act_dtype=dt)
+            if S != frames_seq.shape[1]:
+                frames_seq = _resize(frames_seq)
+            _, flow_up = raft_forward_seq(store, frames_seq, iters=iters,
+                                          corr_dtype=cdt)
+            return _postprocess(flow_up)
+
+        # plain-def wrapper: custom attributes can't be set on a jitted
+        # callable, and TracePipeline dispatches on .takes_sequence
+        def flow_seq_fn(frames_seq):
+            return _seq_impl(frames_seq)
+
+        flow_seq_fn.takes_sequence = True
+        return flow_seq_fn
+
+    @jax.jit
+    def flow_fn(frames_prev, frames_cur):
+        store = ParamStore(raft_params, compute_dtype=dt, act_dtype=dt)
+        if S != frames_prev.shape[1]:
+            frames_prev, frames_cur = _resize(frames_prev), _resize(
+                frames_cur)
+        _, flow_up = raft_forward(store, frames_prev, frames_cur,
+                                  iters=iters, corr_dtype=cdt)
+        return _postprocess(flow_up)
 
     return flow_fn
 

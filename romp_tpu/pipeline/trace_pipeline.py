@@ -303,9 +303,16 @@ class TracePipeline:
         if self.flow_fn is not None:
             prev = (self.last_frame if self.last_frame is not None
                     else frames_dev[:1])
-            # frame pairs assembled ON DEVICE — no second clip upload
-            frames_prev = jnp.concatenate([prev, frames_dev[:-1]], axis=0)
-            flows = self.flow_fn(frames_prev, frames_dev)
+            if getattr(self.flow_fn, "takes_sequence", False):
+                # sequence convention: fnet runs once per unique frame
+                # (raft_forward_seq) instead of once per pair side
+                flows = self.flow_fn(
+                    jnp.concatenate([prev, frames_dev], axis=0))
+            else:
+                # frame pairs assembled ON DEVICE — no second clip upload
+                frames_prev = jnp.concatenate([prev, frames_dev[:-1]],
+                                              axis=0)
+                flows = self.flow_fn(frames_prev, frames_dev)
             t0 = self._tick("flow", t0, sync=flows[0, 0, 0, 0])
         else:
             # cached across clips: an eager zeros() is a device round trip
@@ -351,8 +358,13 @@ class TracePipeline:
         if self.flow_fn is not None:
             prev0 = (self.last_frame if self.last_frame is not None
                      else devs[0][:1])
-            frames_prev = jnp.concatenate([prev0, frames_cat[:-1]], axis=0)
-            flows_cat = self.flow_fn(frames_prev, frames_cat)
+            if getattr(self.flow_fn, "takes_sequence", False):
+                flows_cat = self.flow_fn(
+                    jnp.concatenate([prev0, frames_cat], axis=0))
+            else:
+                frames_prev = jnp.concatenate([prev0, frames_cat[:-1]],
+                                              axis=0)
+                flows_cat = self.flow_fn(frames_prev, frames_cat)
             t0 = self._tick("flow", t0, sync=flows_cat[0, 0, 0, 0])
         self.last_frame = devs[-1][-1:]
 

@@ -49,7 +49,8 @@ def main():
     if args.flow:
         # CLI-default parity flow (20 it, bf16 = reference autocast mode)
         flow_fn = make_trace_flow_fn(init_raft_params(jax.random.PRNGKey(2)),
-                                     iters=20, compute_dtype="bfloat16")
+                                     iters=20, compute_dtype="bfloat16",
+                                     sequence=True)
     pipe = TracePipeline(tparams, adult, baby, cfg, sc, flow_fn=flow_fn)
     frames = rng.rand(8, 512, 512, 3).astype(np.float32) * 255.0
 

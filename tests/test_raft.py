@@ -118,3 +118,25 @@ def test_flow_fn_bf16_default_mode():
     assert np.isfinite(c).all()
     sc = np.abs(c).mean()
     assert sc < 50 * sa + 1e-3 and sa < 50 * sc + 1e-3
+
+
+def test_flow_seq_fn_matches_pairwise():
+    """sequence=True (fnet shared over the T+1 unique frames) must produce
+    the same flows as the pairwise fn on the shifted-pair inputs the
+    pipeline builds — same math, just deduplicated encoder passes."""
+    from romp_tpu.models.raft import make_trace_flow_fn
+
+    params = init_raft_params(jax.random.PRNGKey(0), size=64)
+    rng = np.random.RandomState(3)
+    seq = (rng.rand(5, 64, 64, 3) * 255.0).astype(np.float32)  # T+1 = 5
+
+    pair = make_trace_flow_fn(params, iters=3, out_size=16,
+                              flow_input_size=64)
+    seqf = make_trace_flow_fn(params, iters=3, out_size=16,
+                              flow_input_size=64, sequence=True)
+    assert getattr(seqf, "takes_sequence", False)
+
+    a = np.asarray(pair(jnp.asarray(seq[:-1]), jnp.asarray(seq[1:])))
+    b = np.asarray(seqf(jnp.asarray(seq)))
+    assert b.shape == a.shape == (4, 16, 16, 2)
+    np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-4)

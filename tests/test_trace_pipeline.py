@@ -201,3 +201,68 @@ def test_dispatch_clips_flow_pairing_bitexact(monkeypatch):
         for k in r:
             np.testing.assert_array_equal(
                 np.asarray(r[k]), np.asarray(g[k]), err_msg=k)
+
+
+def test_dispatch_sequence_flow_convention(monkeypatch):
+    """A flow_fn marked takes_sequence gets the (T+1)-frame stack
+    [prev_last, f0..fT-1] and must yield the same pipeline outputs as the
+    pairwise convention computing the same flows."""
+    import romp_tpu.pipeline.trace_pipeline as tp
+    from romp_tpu.models.trace import init_trace_params
+    from romp_tpu.pipeline.trace_pipeline import TraceConfig, TracePipeline
+    from romp_tpu.pipeline.trace_tracking import SeqConfig as SC
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    @jax.jit
+    def fake_feats(frames):
+        x = jax.image.resize(frames.astype(jnp.float32) / 255.0,
+                             (frames.shape[0], 128, 128, 3), "bilinear")
+        return jnp.tile(x, (1, 1, 1, 11))[..., :32]
+
+    monkeypatch.setattr(tp, "trace_extract_features",
+                        lambda p, f, u, c: fake_feats(f))
+
+    @jax.jit
+    def pair_flow(prev, cur):
+        d = jax.image.resize((cur - prev).astype(jnp.float32),
+                             (cur.shape[0], tp.OUTMAP, tp.OUTMAP, 3),
+                             "bilinear")
+        return d[..., :2] * 0.01
+
+    def seq_flow(frames_seq):
+        return pair_flow(frames_seq[:-1], frames_seq[1:])
+
+    seq_flow.takes_sequence = True
+
+    params = init_trace_params(jax.random.PRNGKey(0), clip_length=2)
+    adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
+    baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
+    cfg = TraceConfig(temp_clip_length=2, max_person=4, conf_thresh=-1e9)
+    kw = dict(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
+              tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
+
+    rng = np.random.RandomState(4)
+    f1 = rng.rand(2, 512, 512, 3).astype(np.float32) * 255.0
+    f2 = rng.rand(2, 512, 512, 3).astype(np.float32) * 255.0
+
+    pa = TracePipeline(params, adult, baby, cfg, SC(**kw),
+                       flow_fn=pair_flow)
+    ref = [pa.process_clip(f1), pa.process_clip(f2)]
+    pb = TracePipeline(params, adult, baby, cfg, SC(**kw),
+                       flow_fn=seq_flow)
+    got = [pb.process_clip(f1), pb.process_clip(f2)]
+    for r, g in zip(ref, got):
+        assert r is not None and g is not None
+        for k in r:
+            np.testing.assert_array_equal(
+                np.asarray(r[k]), np.asarray(g[k]), err_msg=k)
+    # batched dispatch uses the sequence convention too
+    pc = TracePipeline(params, adult, baby, cfg, SC(**kw),
+                       flow_fn=seq_flow)
+    got2 = [pc.collect_clip(h) for h in pc.dispatch_clips([f1, f2])]
+    for r, g in zip(ref, got2):
+        assert g is not None
+        for k in r:
+            np.testing.assert_array_equal(
+                np.asarray(r[k]), np.asarray(g[k]), err_msg=k)
