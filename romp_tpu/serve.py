@@ -9,6 +9,10 @@ runtime around the same jitted graph:
   static and the compile count is bounded). A lone request ships after
   `window_ms`; a burst fills the batch immediately. Batching is what keeps
   the MXU fed — batch-1 inference on a big chip is RTT/dispatch-bound.
+  Under overload the window adapts for free: while the two-deep device
+  pipeline is full, the dispatcher keeps coalescing (an early dispatch
+  would only block), so realized batches approach max_batch exactly when
+  the device is the bottleneck.
 - **Double-buffering**: dispatch and result-fetch run on separate threads,
   so the device computes batch k+1 while batch k's results cross the
   host link (each fetch is a full round trip on a remote-tunneled TPU).
@@ -138,14 +142,23 @@ class MicroBatcher:
             return None
         batch = [first]
         deadline = time.perf_counter() + self.window_s
+        poll = max(self.window_s, 5e-4)
         while len(batch) < self.max_batch:
             timeout = deadline - time.perf_counter()
             if timeout <= 0:
-                break
+                # Base window expired. If the device pipeline is full, an
+                # early dispatch would only sit blocked in _inflight.put —
+                # keep coalescing instead (adaptive window: realized
+                # batches grow toward max_batch exactly when the device is
+                # the bottleneck; light load keeps the low-latency base
+                # window because _inflight has free slots).
+                if not self._inflight.full():
+                    break
+                timeout = poll
             try:
                 item = self._q.get(timeout=timeout)
             except queue.Empty:
-                break
+                continue   # re-check deadline/pipeline state
             if item is None:
                 return batch   # close() during fill: run what we have
             batch.append(item)

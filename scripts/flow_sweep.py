@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--iters_list", default="12,20")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--pairs", type=int, default=8)
+    ap.add_argument("--configs", default="f32,bf16,bf16corr",
+                    help="comma subset of {f32,bf16,bf16corr} dtype configs "
+                         "(each costs two remote compiles per iters value)")
     args = ap.parse_args()
 
     params = init_raft_params(jax.random.PRNGKey(0))
@@ -47,15 +50,28 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)) * 1e3
 
+    seq = jnp.concatenate([a[:1], b], axis=0)  # (pairs+1, S, S, 3)
+
+    cfg_map = {"f32": ("float32", "float32"),
+               "bf16": ("bfloat16", "float32"),
+               "bf16corr": ("bfloat16", "bfloat16")}
+    configs = [cfg_map[c] for c in args.configs.split(",")]
+
     for it in [int(x) for x in args.iters_list.split(",")]:
-        for compute, corr in (("float32", "float32"),
-                              ("bfloat16", "float32"),
-                              ("bfloat16", "bfloat16")):
+        for compute, corr in configs:
             fn = make_trace_flow_fn(params, iters=it,
                                     compute_dtype=compute, corr_dtype=corr)
             ms = timed(fn)
             print(json.dumps({"iters": it, "compute": compute,
                               "corr": corr, "clip_ms": round(ms, 1)}),
+                  flush=True)
+            # sequence formulation (fnet shared over unique frames) at the
+            # same config — the TracePipeline streaming default
+            sfn = make_trace_flow_fn(params, iters=it, compute_dtype=compute,
+                                     corr_dtype=corr, sequence=True)
+            ms = timed(lambda x, _y: sfn(seq))
+            print(json.dumps({"iters": it, "compute": compute, "corr": corr,
+                              "mode": "sequence", "clip_ms": round(ms, 1)}),
                   flush=True)
 
 

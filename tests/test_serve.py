@@ -323,3 +323,56 @@ def test_serve_error_reporting(romp_server):
     header, _ = _recv_msg(sock)
     assert header["ok"] is False and "error" in header
     sock.close()
+
+
+def test_adaptive_window_grows_batches_under_overload():
+    """When the device pipeline (_inflight) is full, the dispatcher keeps
+    coalescing past the base window, so realized batches approach
+    max_batch under saturation; a lone request still dispatches on the
+    base window when the pipeline has free slots."""
+    def run_batch(images):
+        return images.shape[0]
+
+    def fetch(handle):
+        time.sleep(0.05)               # slow device: pipeline backs up
+        return {"n": np.arange(handle)}
+
+    mb = MicroBatcher(run_batch, fetch, max_batch=8, window_ms=1.0,
+                      input_size=4)
+    try:
+        img = np.zeros((4, 4, 3), np.uint8)
+        stop = threading.Event()
+        errs = []
+
+        def client():
+            try:
+                while not stop.is_set():
+                    mb.submit(img).result(timeout=20)
+            except Exception as e:      # pragma: no cover - debug aid
+                errs.append(e)
+
+        threads = [threading.Thread(target=client) for _ in range(16)]
+        for t in threads:
+            t.start()
+        time.sleep(2.0)
+        stop.set()
+        for t in threads:
+            t.join(timeout=20)
+        assert not errs
+        realized = mb.items_run / max(mb.batches_run, 1)
+        # 16 sync clients vs a 50 ms device: without adaptation the 1 ms
+        # window dispatches ~2-4 per batch; with it batches must fill
+        assert realized >= 6.0, (realized, mb.batches_run, mb.items_run)
+    finally:
+        mb.close()
+
+    # light load: single request resolves promptly (window not inflated)
+    mb2 = MicroBatcher(run_batch, lambda h: {"n": np.arange(h)},
+                       max_batch=8, window_ms=1.0, input_size=4)
+    try:
+        t0 = time.perf_counter()
+        mb2.submit(img).result(timeout=10)
+        assert time.perf_counter() - t0 < 1.0
+        assert mb2.batches_run == 1 and mb2.items_run == 1
+    finally:
+        mb2.close()
