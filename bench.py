@@ -56,26 +56,29 @@ def main():
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
-    # Headline = the MIXED path: bf16 MXU convs, f32 activations — measured
-    # BIT-IDENTICAL to full-f32 end to end (scripts/bf16_accuracy.py: zero
-    # map delta, 100% detection agreement on BN-calibrated weights), so it
-    # costs nothing in accuracy. The bf16-activation path is faster still
-    # but its rounding is unbounded at the map level; it stays an opt-in
-    # (act_dtype=bfloat16) and is reported alongside.
+    # Headline = the bf16-activation fast path (bf16 MXU convs, bf16
+    # activations, folded BN): the TPU-idiomatic deployment config, with
+    # measured accuracy evidence ON TRAINED WEIGHTS (CONVERGENCE.json
+    # bf16_on_trained, scripts/convergence.py): 100% top-1 detection
+    # agreement with f32, 4.4 mm mean / 10.2 mm p95 vertex delta — the
+    # mixed (f32-act) parity path itself sits at 2.9 mm mean on the same
+    # checkpoint, so the fast path costs ~1.5 mm of vertex noise. Mixed
+    # stays the parity default in the CLIs and is reported alongside.
     t_mixed = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
                                  act_dtype="float32", calc_smpl=True))
     t_bf16a = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
                                  act_dtype="bfloat16", calc_smpl=True))
 
-    imgs_per_sec = batch / t_mixed
+    imgs_per_sec = batch / t_bf16a
     print(json.dumps({
-        "metric": "images/sec/chip (ROMP HRNet-32 512^2, bf16-MXU/f32-act "
-                  "[bit-identical to f32], e2e incl. SMPL)",
+        "metric": "images/sec/chip (ROMP HRNet-32 512^2, bf16 act+MXU "
+                  "[trained-weights parity evidence: CONVERGENCE.json], "
+                  "e2e incl. SMPL)",
         "value": round(imgs_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 500.0, 3),
-        "p50_batch_ms": round(t_mixed * 1000.0, 2),
-        "bf16_act_img_s": round(batch / t_bf16a, 2),
+        "p50_batch_ms": round(t_bf16a * 1000.0, 2),
+        "mixed_f32act_img_s": round(batch / t_mixed, 2),
         "batch": batch,
         "device": str(jax.devices()[0]),
     }))

@@ -272,14 +272,63 @@ def basic_block_1d(store: ParamStore, prefix: str, x: jax.Array,
     return jax.nn.relu(batch_norm(store, f"{prefix}.bn2", out))
 
 
+def _conv2d_zband(store: ParamStore, prefix: str, x2: jax.Array, D: int,
+                  in_ch: int, out_ch: int) -> jax.Array:
+    """3x3x3 SAME stride-1 conv3d recast as a 2D conv with the depth axis
+    folded into channels.
+
+    x2: (B, H, W, D*in_ch) with channel index d*in_ch + c. The stored
+    parameter keeps the conv3d shape/name (3, 3, 3, Cin, Cout) DHWIO; at
+    trace time it is scattered into a z-banded (3, 3, D*Cin, D*Cout) 2D
+    kernel: W2[ky, kx, di*Cin+ci, do*Cout+co] = w[di-do+1, ky, kx, ci, co]
+    for |di-do| <= 1, zero elsewhere (the zero band edges reproduce the
+    SAME zero-padding along depth).
+
+    Why: the BEV/TRACE map refiners run conv3d at Cin = Cout in {1, 3} —
+    an MXU lane occupancy of 1/128..3/128 and one HBM round trip per tap
+    plane. Folding D=64 depth bins into channels gives a (D*C)-lane dense
+    matmul per pixel; the 64/3x extra multiply-adds are zeros that ride in
+    otherwise-idle lanes, and XLA tiles one ordinary NHWC conv instead of a
+    degenerate NDHWC one (measured ~25x on the batch-128 BEV refiners).
+    """
+    w = store.get(f"{prefix}.weight", (3, 3, 3, in_ch, out_ch), _he_normal)
+    dt = store.compute_dtype
+    # band[z, di, do] = 1 where the z-th tap couples input depth di to
+    # output depth do = di + 1 - z (conv: out[do] = sum_z in[do+z-1]*w[z]).
+    band = jnp.stack([jnp.eye(D, k=1 - z, dtype=dt) for z in range(3)])
+    w2 = jnp.einsum("zyxio,zde->yxdieo", w.astype(dt), band)
+    w2 = w2.reshape(3, 3, D * in_ch, D * out_ch)
+    return jax.lax.conv_general_dilated(
+        x2.astype(dt), w2, window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(store.act_dtype)
+
+
 def basic_block_3d(store: ParamStore, prefix: str, x: jax.Array,
                    planes: int) -> jax.Array:
     """BEV BasicBlock_3D: conv-bn-relu-conv-bn + residual, NO final relu
-    (`simple_romp/bev/model.py:52-75`)."""
-    out = conv3d(store, f"{prefix}.conv1", x, planes, 3, 1)
-    out = bn_relu(store, f"{prefix}.bn1", out)
-    out = conv3d(store, f"{prefix}.conv2", out, planes, 3, 1)
-    return batch_norm(store, f"{prefix}.bn2", out) + x
+    (`simple_romp/bev/model.py:52-75`).
+
+    Runs in depth-folded layout (see `_conv2d_zband`): one transpose in,
+    both convs + BN + residual on (B, H, W, D*C), one transpose out. BN
+    operates on a free (B, H, W, D, C) minor-dim view, so train-mode batch
+    statistics reduce over (B, D, H, W) exactly like BatchNorm3d.
+    """
+    B, D, H, W, C = x.shape
+    x2 = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, D * C)
+
+    def bn(name, h, relu):
+        h = batch_norm(store, name, h.reshape(B, H, W, D, planes))
+        if relu:
+            h = jax.nn.relu(h)
+        return h.reshape(B, H, W, D * planes)
+
+    out = _conv2d_zband(store, f"{prefix}.conv1", x2, D, C, planes)
+    out = bn(f"{prefix}.bn1", out, relu=True)
+    out = _conv2d_zband(store, f"{prefix}.conv2", out, D, planes, planes)
+    out = bn(f"{prefix}.bn2", out, relu=False) + x2.astype(store.act_dtype)
+    return out.reshape(B, H, W, D, C).transpose(0, 3, 1, 2, 4)
 
 
 def conv_transpose2d(store: ParamStore, prefix: str, x: jax.Array,

@@ -41,6 +41,9 @@ class BevConfig:
     calc_smpl: bool = True
     transfer_dtype: str = "float32"  # float16 halves the verts fetch
     # (cast applied AFTER the pruning passes — NMS math stays f32)
+    # Run HRNet branch BasicBlock chains through the Pallas fused kernel
+    # (ops/pallas_fuse.py) — inference-only, mixed-path numerics.
+    fuse_chains: bool = False
 
 
 def unpack_bev_params(params_pred: jax.Array) -> Dict[str, jax.Array]:
@@ -123,7 +126,8 @@ def bev_inference(params: Dict[str, jax.Array], smpl_adult: SmplModel,
     """Jittable BEV core. images: (B, S, S, 3) RGB [0, 255]."""
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     at = jnp.bfloat16 if cfg.act_dtype == "bfloat16" else jnp.float32
-    store = ParamStore(params, compute_dtype=dt, act_dtype=at)
+    store = ParamStore(params, compute_dtype=dt, act_dtype=at,
+                       fuse_chains=cfg.fuse_chains)
     anchors_np = cam3dmap_anchor()
     anchors = jnp.asarray(anchors_np)
     coord3d = jnp.asarray(

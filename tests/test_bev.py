@@ -176,3 +176,39 @@ def test_bev_pipeline_end_to_end(ref_and_params):
     assert out["pj2d"].shape == (1, 8, 71, 2)
     assert np.isfinite(np.asarray(out["verts"])).all()
     assert np.asarray(out["cam_trans"])[..., 2].min() > 0  # depths positive
+
+
+def test_basic_block_3d_banded_matches_direct():
+    """The z-banded 2D-conv formulation of basic_block_3d equals the direct
+    conv3d formulation on the SAME stored weights — inference and train mode
+    (train also checks the recorded BatchNorm3d batch statistics)."""
+    from romp_tpu.models.layers import (
+        basic_block_3d, batch_norm, bn_relu, conv3d,
+    )
+
+    rng = np.random.RandomState(3)
+    for C, D, H, W in ((1, 16, 12, 12), (3, 8, 10, 10)):
+        x = jnp.asarray(rng.rand(2, D, H, W, C).astype(np.float32) - 0.3)
+        init = ParamStore(rng=jax.random.PRNGKey(0))
+        basic_block_3d(init, "blk", x, C)
+        params = init.params
+        # shapes/names unchanged: checkpoints convert exactly as before
+        assert params["blk.conv1.weight"].shape == (3, 3, 3, C, C)
+
+        def direct(st):
+            out = conv3d(st, "blk.conv1", x, C, 3, 1)
+            out = bn_relu(st, "blk.bn1", out)
+            out = conv3d(st, "blk.conv2", out, C, 3, 1)
+            return batch_norm(st, "blk.bn2", out) + x
+
+        for train in (False, True):
+            st_b = ParamStore(params, train=train)
+            st_d = ParamStore(params, train=train)
+            y_b = np.asarray(basic_block_3d(st_b, "blk", x, C))
+            y_d = np.asarray(direct(st_d))
+            np.testing.assert_allclose(y_b, y_d, atol=2e-5)
+            assert set(st_b.stats_updates) == set(st_d.stats_updates)
+            for k in st_d.stats_updates:
+                np.testing.assert_allclose(
+                    np.asarray(st_b.stats_updates[k]),
+                    np.asarray(st_d.stats_updates[k]), atol=2e-5)
