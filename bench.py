@@ -58,12 +58,12 @@ def main():
 
     # Headline = the bf16-activation fast path (bf16 MXU convs, bf16
     # activations, folded BN): the TPU-idiomatic deployment config, with
-    # measured accuracy evidence ON TRAINED WEIGHTS (CONVERGENCE.json
-    # bf16_on_trained, scripts/convergence.py): 100% top-1 detection
-    # agreement with f32, 4.4 mm mean / 10.2 mm p95 vertex delta — the
-    # mixed (f32-act) parity path itself sits at 2.9 mm mean on the same
-    # checkpoint, so the fast path costs ~1.5 mm of vertex noise. Mixed
-    # stays the parity default in the CLIs and is reported alongside.
+    # measured accuracy evidence ON TRAINED WEIGHTS AND ON THIS CHIP
+    # (CONVERGENCE.json bf16_on_trained_tpu, scripts/convergence.py
+    # --bf16_ckpt): 100% top-1 detection agreement with f32, 4.6 mm mean /
+    # 9.8 mm p95 vertex delta; the mixed (f32-act) path measured
+    # BIT-IDENTICAL to f32 on the TPU on the same checkpoint. Mixed stays
+    # the parity default in the CLIs and is reported alongside.
     t_mixed = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
                                  act_dtype="float32", calc_smpl=True))
     t_bf16a = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
