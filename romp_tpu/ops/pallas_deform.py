@@ -154,7 +154,16 @@ def deform_conv2d_pallas(x: jax.Array, offsets: jax.Array, weight: jax.Array,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def deform_conv2d_fast(x, offsets, weight, deform_groups=8, padding=1):
     """deform_conv2d with the Pallas forward on TPU (XLA elsewhere) and the
-    XLA implementation's VJP as the backward."""
+    XLA implementation's VJP as the backward.
+
+    ROMP_TPU_NO_PALLAS=1 forces the XLA formulation even on TPU — escape
+    hatch for environments whose compile service cannot build Mosaic
+    kernels (the remote axon AOT helper here SIGKILLs on any Pallas
+    compile; plain XLA graphs are unaffected)."""
+    import os
+
+    if os.environ.get("ROMP_TPU_NO_PALLAS") == "1":
+        return deform_conv2d(x, offsets, weight, deform_groups, padding)
     if any(d.platform == "tpu" for d in jax.devices()):
         return deform_conv2d_pallas(x, offsets, weight, deform_groups,
                                     padding)
