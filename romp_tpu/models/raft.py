@@ -98,17 +98,22 @@ def build_corr_pyramid(fmap1: jax.Array, fmap2: jax.Array,
     return pyramid
 
 
-def corr_lookup(pyramid: List[jax.Array], coords: jax.Array,
-                radius: int = CORR_RADIUS) -> jax.Array:
+def corr_lookup_onehot(pyramid: List[jax.Array], coords: jax.Array,
+                       radius: int = CORR_RADIUS) -> jax.Array:
     """coords: (B, H, W, 2) (x, y) target positions. Returns
     (B, H, W, LEVELS*(2r+1)^2) sampled correlation features.
 
-    TPU formulation: all (2r+1)^2 window taps share one fractional offset,
-    so the whole window is two one-hot contractions (rows then cols — MXU
-    batched matmuls, out-of-range rows/cols are all-zero = zero padding)
-    followed by a 2x2 bilinear blend of the (2r+2)^2 integer patch.
-    Per-point gathers here lower to scalar loops on TPU and dominated RAFT's
-    runtime (~127M gathered points for a 12-iteration 512^2 clip).
+    One-hot formulation: all (2r+1)^2 window taps share one fractional
+    offset, so the whole window is two one-hot contractions (rows then cols,
+    out-of-range rows/cols are all-zero = zero padding) followed by a 2x2
+    bilinear blend of the (2r+2)^2 integer patch. Replaced per-point gathers
+    (scalar loops on TPU) in round 2. Measured on-chip round 4
+    (scripts/flow_bisect.py, B=8 64^2): 14.0 ms/iteration inside the
+    refinement scan — op-latency-bound on the 32K-per-level tiny
+    (W2, Hi)@(Hi, Wi) batched matmuls, NOT HBM-bound (a bf16 volume changes
+    nothing), and still 2x faster than the take_along_axis row-gather
+    variant (corr_lookup_rowgather, 29 ms/iter: per-point dynamic gathers
+    lower worse than one-hot MXU contractions on TPU).
     """
     B, H, W, _ = coords.shape
     r = radius
@@ -147,6 +152,70 @@ def corr_lookup(pyramid: List[jax.Array], coords: jax.Array,
         win = win.swapaxes(-1, -2)
         outs.append(win.reshape(B, H, W, -1))
     return jnp.concatenate(outs, axis=-1)
+
+
+def corr_lookup_rowgather(pyramid: List[jax.Array], coords: jax.Array,
+                          radius: int = CORR_RADIUS) -> jax.Array:
+    """corr_lookup via a contiguous ROW gather + one-hot column contraction.
+
+    The window rows [y0-r, y0+r+1] are consecutive, so selecting them is a
+    take_along_axis over the row axis — each gathered element is a full
+    contiguous (Wi,)-lane row, which TPU executes as vectorized dynamic
+    slices instead of the one-hot form's 32K tiny (W2, Hi)@(Hi, Wi) matmuls.
+    Memory: W2/Hi of the volume per iteration instead of ALL of it (6.4x
+    less at level 0). Out-of-range rows fill with 0 (mode="fill") = the
+    reference's zero padding; the column selection stays a one-hot einsum on
+    the (W2, Wi) strips (cheap, exact). Identical math to corr_lookup_onehot
+    (selection + shared-fraction bilinear blend); parity is tested in
+    tests/test_raft.py.
+
+    Measured on-chip round 4 (scripts/flow_bisect.py): 29 ms/iteration vs
+    14 for the one-hot form — the hypothesis that less HBM traffic wins was
+    FALSE (the lookup is op-latency-bound, and take_along_axis lowers to
+    per-point dynamic gathers that are slower than one-hot MXU
+    contractions). Kept as the measured record + CPU-friendly alternative.
+    """
+    B, H, W, _ = coords.shape
+    r = radius
+    W2 = 2 * r + 2
+    j = jnp.arange(W2, dtype=jnp.int32) - r
+    outs = []
+    for i, corr in enumerate(pyramid):
+        Hi, Wi = corr.shape[2:]
+        maps = corr.reshape(B, H * W, Hi, Wi)
+        c = coords.reshape(B, H * W, 2) / (2 ** i)
+        x, y = c[..., 0], c[..., 1]
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        fy = (y - y0)[..., None, None]
+        fx = (x - x0)[..., None, None]
+
+        rows_idx = y0.astype(jnp.int32)[..., None] + j        # (B, P, W2)
+        cols_idx = x0.astype(jnp.int32)[..., None] + j
+        # mode="fill" zero-fills indices >= Hi but WRAPS negatives (numpy
+        # semantics), so remap negatives out of range to get zero padding
+        # on both sides like the one-hot form / reference grid_sample.
+        rows_idx = jnp.where(rows_idx < 0, Hi, rows_idx)
+        rows = jnp.take_along_axis(
+            maps, rows_idx[..., None], axis=2, mode="fill",
+            fill_value=0)                                     # (B, P, W2, Wi)
+        wc = (cols_idx[..., None]
+              == jnp.arange(Wi, dtype=jnp.int32)).astype(maps.dtype)
+        patch = jnp.einsum("bpkw,bpjw->bpjk", wc, rows,
+                           preferred_element_type=jnp.float32)
+        px = (patch[..., :, :-1] * (1.0 - fx)
+              + patch[..., :, 1:] * fx)
+        win = (px[..., :-1, :] * (1.0 - fy)
+               + px[..., 1:, :] * fy)
+        win = win.swapaxes(-1, -2)
+        outs.append(win.reshape(B, H, W, -1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+# Active formulation for raft_refine. Both variants are exact selections of
+# the same taps + the same blend, so this is a pure performance switch;
+# measured on-chip in scripts/flow_bisect.py.
+corr_lookup = corr_lookup_onehot
 
 
 def _motion_encoder(store: ParamStore, flow: jax.Array,

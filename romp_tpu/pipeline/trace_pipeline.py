@@ -122,17 +122,22 @@ def trace_maps_and_detect(params, feature_maps, flows, hidden,
     return maps, hidden, det_pack
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
-                  cfg: TraceConfig, maps=None):
+@functools.partial(jax.jit, static_argnums=(2,))
+def trace_regress(params, traj_pack, cfg: TraceConfig, maps=None):
     """Device stage 2: trajectory regression + map gathers at traj positions.
 
-    traj_feats: (N, T, 128) gated features; cams_init_traj: (N, T, 3);
-    traj_yx: (N, T, 2) int (y, x). Returns ONE packed (N, T, 171) float32
-    buffer — [params_pred(159), normed_cams(3), cam_motion(3), cam_rot(6)]
+    traj_pack: ONE packed (N, T, 133) float32 upload —
+    [gated features(128), init cams(3), traj (y, x)(2)] — each host->device
+    array enqueue costs ~15 ms on a tunneled device, so the three inputs
+    ride one buffer (int coords round-trip f32 exactly: map indices < 2^24).
+    Returns ONE packed (N, T, 171) float32 buffer —
+    [params_pred(159), normed_cams(3), cam_motion(3), cam_rot(6)]
     — one host fetch instead of four.
     """
     store = _store(params, cfg)
+    traj_feats = traj_pack[..., :HC]
+    cams_init_traj = traj_pack[..., HC:HC + 3]
+    traj_yx = traj_pack[..., HC + 3:HC + 5].astype(jnp.int32)
     params_pred = trace_regress_trajectory(store, traj_feats)
     normed_cams = trace_regress_trans(store, cams_init_traj, traj_feats)
     N, T = traj_yx.shape[:2]
@@ -146,14 +151,19 @@ def trace_regress(params, traj_feats, cams_init_traj, traj_yx,
         f32(cam_rot).transpose(1, 0, 2)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _trace_smpl_stage(params_pred, normed_cams, cam_rot, smpls,
-                      input_size: int, transfer_dtype: str = "float32"):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _trace_smpl_stage(smpl_pack, smpls, input_size: int,
+                      transfer_dtype: str = "float32"):
     """Final device stage, one jit: 6D->aa, SMPL+A, projection, world grots.
 
-    params_pred: (N, T, 159); normed_cams: (N, T, 3); cam_rot: (N, T, 6);
+    smpl_pack: ONE packed (N, T, 168) float32 upload —
+    [params_pred(159), normed_cams(3), cam_rot(6)] — a single array enqueue
+    instead of three (each costs ~15 ms on a tunneled device).
     smpls: (adult, baby) SmplModel pytrees.
     """
+    params_pred = smpl_pack[..., :159]
+    normed_cams = smpl_pack[..., 159:162]
+    cam_rot = smpl_pack[..., 162:168]
     N, T = params_pred.shape[:2]
     pose6d = params_pred[..., 6:138].reshape(N * T, -1)
     thetas = jnp.concatenate([
@@ -446,10 +456,11 @@ class TracePipeline:
             traj, feat_traj[:N], self.memory, self.seq_cfg)
         t0 = self._tick("memory_gate", t0)
 
+        traj_pack = np.concatenate(
+            [feat_traj, cams_init_traj,
+             czyxs_p[..., 1:].astype(np.float32)], axis=-1)
         reg = np.asarray(trace_regress(
-            self.params, jnp.asarray(feat_traj),
-            jnp.asarray(cams_init_traj),
-            jnp.asarray(czyxs_p[..., 1:]), cfg, maps=maps))
+            self.params, jnp.asarray(traj_pack), cfg, maps=maps))
         params_pred = np.ascontiguousarray(reg[..., :159])  # (n_pad, T, 159)
         normed_cams = np.ascontiguousarray(reg[..., 159:162])
         cam_motion = reg[..., 162:165]
@@ -468,9 +479,10 @@ class TracePipeline:
 
         # ---- device: SMPL + projection, ONE jitted call (eager op-by-op
         # here costs seconds per clip on remote-tunneled devices) ----
+        smpl_pack = np.concatenate(
+            [params_pred, normed_cams, cam_rot.astype(np.float32)], axis=-1)
         pack_f32, pack_geom = _trace_smpl_stage(
-            jnp.asarray(params_pred), jnp.asarray(normed_cams),
-            jnp.asarray(cam_rot),
+            jnp.asarray(smpl_pack),
             (self.smpl_adult, self.smpl_baby), cfg.input_size,
             cfg.transfer_dtype)
         # fetch only the live N*T rows (padding is trailing, N-major) —

@@ -1,13 +1,21 @@
 """Bisect RAFT's per-iteration cost on the chip: lookup vs update block.
 
-flow_sweep puts the 20-iteration refinement at ~14 ms/iteration for an
-8-pair 512^2 clip while the conv/HBM roofline of one iteration is ~2 ms;
-this times the two halves of the scan body as standalone jitted calls:
+Standalone jitted calls all hit the tunnel's ~30 ms dispatch floor, so each
+piece is timed IN-JIT: a lax.scan runs the piece N times with a data
+dependence between iterations, and the per-iteration cost is the marginal
+time between a long and a short scan — (t(N_hi) - t(N_lo)) / (N_hi - N_lo).
 
-  corr_lookup   one-hot window contraction over the 4-level pyramid
-  update_block  motion encoder + SepConvGRU + flow head
+Pieces, at the TRACE parity config (B=8 pairs, 64x64 features, bf16 compute,
+f32 correlation volume):
 
-Run on TPU:  python scripts/flow_bisect.py [--iters 12]
+  lookup_*         the two lookup formulations standalone (all-channel
+                   consumption — a sliced feedback lets XLA prune levels)
+  full_{form}_{dt} one whole refinement iteration per lookup formulation
+                   x correlation-volume dtype (the decision metric)
+  update_block     motion encoder + SepConvGRU + flow head
+  build_pyramid    all-pairs matmul + pools (per-clip, not per-iteration)
+
+Run on TPU:  python scripts/flow_bisect.py
 CPU check:   JAX_PLATFORMS=cpu python scripts/flow_bisect.py --check
 """
 import argparse
@@ -20,21 +28,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def _med(fn, iters, warmup=2):
-    for _ in range(warmup):
-        fn()
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
-    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--reps", type=int, default=5,
+                    help="timed repetitions per measurement (median)")
     args = ap.parse_args()
 
     import jax
@@ -42,58 +40,130 @@ def main():
 
     if args.check:
         jax.config.update("jax_platforms", "cpu")
-        args.iters = 2
+        args.reps = 2
 
     from romp_tpu.models.layers import ParamStore
     from romp_tpu.models.raft import (
-        CDIM, HDIM, _flow_head, _motion_encoder, _sep_conv_gru,
-        build_corr_pyramid, corr_lookup, init_raft_params,
+        CDIM, CORR_RADIUS, HDIM, _flow_head, _motion_encoder, _sep_conv_gru,
+        build_corr_pyramid, corr_lookup, corr_lookup_onehot,
+        corr_lookup_rowgather, init_raft_params,
     )
 
     B = 8                      # pairs per clip
     H = W = 64 if not args.check else 16
+    N_LO, N_HI = (2, 10) if not args.check else (1, 3)
     params = init_raft_params(jax.random.PRNGKey(0))
-    store = lambda: ParamStore(params, compute_dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     fmap1 = jnp.asarray(rng.rand(B, H, W, 256).astype(np.float32))
     fmap2 = jnp.asarray(rng.rand(B, H, W, 256).astype(np.float32))
-    coords = jnp.asarray(
+    coords0 = jnp.asarray(
         (rng.rand(B, H, W, 2) * np.asarray([W, H])).astype(np.float32))
-    flow = jnp.asarray(rng.rand(B, H, W, 2).astype(np.float32))
-    net = jnp.asarray(rng.rand(B, H, W, HDIM).astype(np.float32))
+    net0 = jnp.asarray(rng.rand(B, H, W, HDIM).astype(np.float32))
     inp = jnp.asarray(rng.rand(B, H, W, CDIM).astype(np.float32))
 
     force = lambda a: float(jnp.sum(a[..., 0].astype(jnp.float32)))
 
-    pyr_fn = jax.jit(build_corr_pyramid)
-    pyramid = pyr_fn(fmap1, fmap2)
-    rows = {"B": B, "H": H}
-    rows["build_pyramid_ms"] = round(
-        _med(lambda: force(pyr_fn(fmap1, fmap2)[0]), args.iters), 2)
+    pyramid = jax.jit(build_corr_pyramid)(fmap1, fmap2)
+    pyramid = jax.tree_util.tree_map(lambda a: a.block_until_ready(), pyramid)
+    ncorr = 4 * (2 * CORR_RADIUS + 1) ** 2
 
-    look_fn = jax.jit(corr_lookup)
-    corr = look_fn(pyramid, coords)
-    rows["corr_lookup_ms"] = round(
-        _med(lambda: force(look_fn(pyramid, coords)), args.iters), 2)
+    def med(fn, *a):
+        fn(*a)                              # warm (compile)
+        force(fn(*a))
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            force(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) * 1e3
 
-    # per-level lookup cost (levels differ 64x in volume size)
-    for lv in range(4):
-        one = [pyramid[lv]]
-        f = jax.jit(lambda p, c: corr_lookup(p, c))
-        f(one, coords)
-        rows[f"lookup_level{lv}_ms"] = round(
-            _med(lambda: force(f(one, coords)), args.iters), 2)
+    def marginal(make_body):
+        """make_body: () -> (carry0, ctx, body). Times body per-iteration.
 
-    def update(net_c, flow_c, corr_c):
-        st = store()
-        motion = _motion_encoder(st, flow_c, corr_c)
-        net_c = _sep_conv_gru(st, net_c, jnp.concatenate([inp, motion], -1))
-        return _flow_head(st, net_c)
+        ctx carries every device array the body reads (pyramid, params,
+        static inputs) as a jit ARGUMENT: closed-over device arrays are
+        baked into the program as constants, and on the remote-compile
+        tunnel a 0.5 GB constant-laden proto bounces with HTTP 413.
+        """
+        carry0, ctx, body = make_body()
+        outs = {}
+        for n in (N_LO, N_HI):
+            @jax.jit
+            def run(c, ctx, _n=n):
+                c, _ = jax.lax.scan(lambda c, _: (body(c, ctx), None), c,
+                                    None, length=_n)
+                return jax.tree_util.tree_leaves(c)[0]
+            outs[n] = med(run, carry0, ctx)
+        return (outs[N_HI] - outs[N_LO]) / (N_HI - N_LO)
 
-    upd_fn = jax.jit(update)
-    upd_fn(net, flow, corr)
-    rows["update_block_ms"] = round(
-        _med(lambda: force(upd_fn(net, flow, corr)), args.iters), 2)
+    rows = {"B": B, "H": H, "corr_dtype": str(pyramid[0].dtype)}
+
+    # --- lookup formulations: carry coords, derive next coords from corr.
+    # The fed-back signal MUST consume every output channel (mean over all
+    # 324), or XLA dead-code-eliminates the unread taps/levels and the
+    # number measures a pruned lookup (levels 1-3 entirely dead for a
+    # corr[..., :2] feedback — burned us once). ---
+    def lookup_body(look, pyr):
+        def body(coords, ctx):
+            corr = look(ctx["pyr"], coords)
+            m = jnp.mean(corr.astype(jnp.float32), axis=-1, keepdims=True)
+            return coords + 1e-4 * jnp.concatenate([m, m], axis=-1)
+        return coords0, {"pyr": pyr}, body
+
+    pyramid_bf16 = jax.jit(
+        lambda a, b: build_corr_pyramid(a, b, out_dtype=jnp.bfloat16))(
+            fmap1, fmap2)
+    pyramid_bf16 = jax.tree_util.tree_map(
+        lambda a: a.block_until_ready(), pyramid_bf16)
+
+    rows["lookup_onehot_ms_iter"] = round(
+        marginal(lambda: lookup_body(corr_lookup_onehot, pyramid)), 2)
+    rows["lookup_rowgather_ms_iter"] = round(
+        marginal(lambda: lookup_body(corr_lookup_rowgather, pyramid)), 2)
+
+    # --- update block: carry (net, coords); synth corr from net (shape-
+    # and FLOP-faithful, keeps the data chain without a real lookup) ---
+    def update_make():
+        def body(carry, ctx):
+            net_c, coords_c = carry
+            st = ParamStore(ctx["params"], compute_dtype=jnp.bfloat16)
+            corr = jnp.tile(net_c, (1, 1, 1, 3))[..., :ncorr]
+            flow = coords_c - ctx["coords0"]
+            motion = _motion_encoder(st, flow, corr)
+            net_c = _sep_conv_gru(st, net_c,
+                                  jnp.concatenate([ctx["inp"], motion], -1))
+            delta = _flow_head(st, net_c)
+            return net_c, coords_c + delta.astype(jnp.float32)
+        return ((net0, coords0),
+                {"params": params, "coords0": coords0, "inp": inp}, body)
+
+    rows["update_block_ms_iter"] = round(marginal(update_make), 2)
+
+    # --- full iteration (lookup + update), as raft_refine runs it ---
+    def full_make(look, pyr):
+        def body(carry, ctx):
+            net_c, coords_c = carry
+            st = ParamStore(ctx["params"], compute_dtype=jnp.bfloat16)
+            corr = look(ctx["pyr"], coords_c)
+            flow = coords_c - ctx["coords0"]
+            motion = _motion_encoder(st, flow, corr)
+            net_c = _sep_conv_gru(st, net_c,
+                                  jnp.concatenate([ctx["inp"], motion], -1))
+            delta = _flow_head(st, net_c)
+            return net_c, coords_c + delta.astype(jnp.float32)
+        return ((net0, coords0),
+                {"params": params, "coords0": coords0, "inp": inp,
+                 "pyr": pyr}, body)
+
+    for name, look in (("onehot", corr_lookup_onehot),
+                       ("rowgather", corr_lookup_rowgather)):
+        for dt, pyr in (("f32", pyramid), ("bf16", pyramid_bf16)):
+            rows[f"full_{name}_{dt}_ms_iter"] = round(
+                marginal(lambda: full_make(look, pyr)), 2)
+
+    # --- per-clip pieces (single calls; floor-dominated but bounded) ---
+    pyr_fn = jax.jit(lambda a, b: build_corr_pyramid(a, b)[0])
+    rows["build_pyramid_ms_call"] = round(med(pyr_fn, fmap1, fmap2), 2)
 
     print(json.dumps(rows, indent=1))
     if args.check:

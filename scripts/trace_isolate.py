@@ -114,18 +114,27 @@ def main():
     rows["maps_detect_resident_ms"] = round(_med(run_maps, args.iters), 1)
 
     N = 16
-    pp = jnp.asarray(rng.rand(N, T, 159).astype(np.float32) * 0.1)
-    nc = jnp.asarray(rng.rand(N, T, 3).astype(np.float32))
-    cr = jnp.asarray(rng.rand(N, T, 6).astype(np.float32) * 0.1)
+    sp = jnp.asarray(rng.rand(N, T, 168).astype(np.float32) * 0.1)
     for td in ("float32", "float16"):
-        packs = _trace_smpl_stage(pp, nc, cr, (adult, baby), size, td)
+        packs = _trace_smpl_stage(sp, (adult, baby), size, td)
         rows[f"smpl_compute_ms_{td}"] = round(_med(
-            lambda: force(_trace_smpl_stage(pp, nc, cr, (adult, baby),
+            lambda: force(_trace_smpl_stage(sp, (adult, baby),
                                             size, td)[0]),
             args.iters), 1)
-        geom = packs[1]
-        rows[f"smpl_geom_fetch_ms_{td}"] = round(_med(
-            lambda: np.asarray(geom), args.iters), 1)
+        # jax caches the host copy after the first np.asarray of an array,
+        # so each timed fetch must hit a DISTINCT device buffer
+        geoms = [_trace_smpl_stage(sp + 1e-6 * k, (adult, baby), size,
+                                   td)[1] for k in range(args.iters + 1)]
+        for g in geoms:
+            g.block_until_ready()
+        ts = []
+        for g in geoms[1:]:
+            t0 = time.perf_counter()
+            np.asarray(g)
+            ts.append(time.perf_counter() - t0)
+        rows[f"smpl_geom_fetch_ms_{td}"] = round(
+            float(np.median(ts)) * 1e3, 1)
+        geom = geoms[0]
         rows[f"geom_bytes_{td}"] = int(geom.size) * geom.dtype.itemsize
 
     print(json.dumps(rows, indent=1))

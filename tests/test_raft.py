@@ -120,6 +120,32 @@ def test_flow_fn_bf16_default_mode():
     assert sc < 50 * sa + 1e-3 and sa < 50 * sc + 1e-3
 
 
+def test_corr_lookup_rowgather_matches_onehot():
+    """The row-gather formulation is an exact reformulation of the one-hot
+    window contraction: same taps, same zero padding out of range, same
+    shared-fraction bilinear blend. Checked on coords spanning in-range,
+    boundary, and far out-of-range positions, for f32 and bf16 pyramids."""
+    from romp_tpu.models.raft import (
+        build_corr_pyramid, corr_lookup_onehot, corr_lookup_rowgather,
+    )
+
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 16, 16
+    f1 = jnp.asarray(rng.rand(B, H, W, 32).astype(np.float32))
+    f2 = jnp.asarray(rng.rand(B, H, W, 32).astype(np.float32))
+    # coords: in-range, exactly-on-border, and far outside (zero padding)
+    coords = (rng.rand(B, H, W, 2).astype(np.float32) * 3.0 - 1.0) \
+        * np.asarray([W, H], np.float32)
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        pyr = build_corr_pyramid(f1, f2, out_dtype=dt)
+        a = np.asarray(corr_lookup_onehot(pyr, jnp.asarray(coords)))
+        b = np.asarray(corr_lookup_rowgather(pyr, jnp.asarray(coords)))
+        assert a.shape == b.shape == (B, H, W, 4 * 81)
+        np.testing.assert_allclose(b, a, atol=1e-6 if dt == jnp.float32
+                                   else 1e-2)
+
+
 def test_flow_seq_fn_matches_pairwise():
     """sequence=True (fnet shared over the T+1 unique frames) must produce
     the same flows as the pairwise fn on the shifted-pair inputs the
