@@ -212,10 +212,105 @@ def corr_lookup_rowgather(pyramid: List[jax.Array], coords: jax.Array,
     return jnp.concatenate(outs, axis=-1)
 
 
-# Active formulation for raft_refine. Both variants are exact selections of
+def pack_corr_pyramid(pyramid: List[jax.Array]):
+    """Concatenate the pyramid levels into ONE (B, P, sum(Hi), maxW) buffer.
+
+    Level i occupies rows [off_i, off_i + Hi) and columns [0, Wi) (the
+    column tail is zero-padded to the widest level so every level shares
+    the lane dimension). Done once per clip, outside the refinement scan,
+    so corr_lookup_packed can run the whole 4-level window extraction as
+    TWO batched matmuls per iteration instead of eight.
+    """
+    B, P = pyramid[0].shape[:2]
+    maxw = pyramid[0].shape[3]
+    dims, off = [], 0
+    blocks = []
+    for corr in pyramid:
+        Hi, Wi = corr.shape[2:]
+        blocks.append(jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
+                                     (0, maxw - Wi))))
+        dims.append((Hi, Wi, off))
+        off += Hi
+    return jnp.concatenate(blocks, axis=2), tuple(dims)
+
+
+def corr_lookup_packed(packed, coords: jax.Array,
+                       radius: int = CORR_RADIUS) -> jax.Array:
+    """corr_lookup on a pack_corr_pyramid buffer: all levels in TWO batched
+    matmuls per iteration.
+
+    The one-hot form (corr_lookup_onehot) is op-latency-bound: 8 batched
+    matmuls per iteration of 32K tiny (10, Hi)@(Hi, Wi) elements each
+    (14 ms/iter on-chip, scripts/flow_bisect.py). Two structural changes:
+
+    1. The bilinear fraction folds INTO the selection weights: row tap j of
+       level i reads map row h with tent weight max(0, 1-|y_i + j - r - h|)
+       — exactly one-hot(floor)+lerp for in-range taps and zero padding
+       outside, so the post-matmul lerp disappears and the tap axis shrinks
+       (2r+2) -> (2r+1).
+    2. All 4 levels concatenate along the contraction axis (block-diagonal
+       tent weights, K = sum(Hi) = 120), so the eight tiny matmuls become
+       two per iteration: rows (B*P) x (36, 120)@(120, 64), then the window
+       blend (B*P) x (36, 64)@(64, 36) whose off-diagonal level blocks are
+       sliced away (wasted FLOPs are trivial; dispatch count is what costs).
+
+    Identical taps + identical blend as the reference grid_sample
+    (`trace2/models/raft/corr.py:30-42`); parity vs corr_lookup_onehot is
+    tested to f32 tolerance in tests/test_raft.py.
+
+    Measured on-chip round 4 (scripts/flow_bisect.py, B=8 64^2): 9.35
+    ms/iteration standalone, and a FULL refinement iteration (lookup +
+    motion encoder + GRU + flow head) drops 19 -> 11.2 ms — the scan is
+    still lookup-bound (update block alone: 0.97 ms), but the 20-iteration
+    parity scan sheds ~160 ms/clip. This is the active formulation.
+    """
+    buf, dims = packed
+    B, H, W, _ = coords.shape
+    r = radius
+    T = 2 * r + 1
+    P = H * W
+    K = buf.shape[2]
+    maxw = buf.shape[3]
+    c = coords.reshape(B, P, 2)
+    j = jnp.arange(T, dtype=jnp.float32) - r
+
+    wr_blocks, wc_blocks = [], []
+    hh = jnp.arange(K, dtype=jnp.float32)
+    ww = jnp.arange(maxw, dtype=jnp.float32)
+    for i, (Hi, Wi, off) in enumerate(dims):
+        ci = c / (2 ** i)
+        # tap centers (B, P, T); tent weights vs the global row index
+        yc = ci[..., 1:2] + j + off
+        xc = ci[..., 0:1] + j
+        wr_i = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - hh))
+        # zero out rows belonging to other levels (tent tails at block
+        # borders would otherwise leak into the neighbor level)
+        wr_i = wr_i * ((hh >= off) & (hh < off + Hi))
+        wc_i = jnp.maximum(0.0, 1.0 - jnp.abs(xc[..., None] - ww))
+        wc_i = wc_i * (ww < Wi)
+        wr_blocks.append(wr_i)
+        wc_blocks.append(wc_i)
+    wr = jnp.concatenate(wr_blocks, axis=2).astype(buf.dtype)  # (B,P,4T,K)
+    wc = jnp.concatenate(wc_blocks, axis=2).astype(buf.dtype)  # (B,P,4T,mw)
+
+    rows = jnp.einsum("bpjh,bphw->bpjw", wr, buf,
+                      preferred_element_type=jnp.float32)      # (B,P,4T,mw)
+    full = jnp.einsum("bpkw,bpjw->bpjk", wc, rows,
+                      preferred_element_type=jnp.float32)      # (B,P,4T,4T)
+    outs = []
+    for i in range(len(dims)):
+        win = full[:, :, i * T:(i + 1) * T, i * T:(i + 1) * T]
+        # channel order parity with the reference (`raft/corr.py:37-42`):
+        # x-offset axis channel-major (same transpose as the other forms)
+        outs.append(win.swapaxes(-1, -2).reshape(B, H, W, -1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+# Active formulation for raft_refine. All variants are exact selections of
 # the same taps + the same blend, so this is a pure performance switch;
-# measured on-chip in scripts/flow_bisect.py.
-corr_lookup = corr_lookup_onehot
+# measured on-chip in scripts/flow_bisect.py (onehot 14.0, rowgather 29,
+# packed 9.35 ms/iter at the B=8 64^2 parity config).
+corr_lookup = corr_lookup_packed
 
 
 def _motion_encoder(store: ParamStore, flow: jax.Array,
@@ -293,6 +388,8 @@ def raft_refine(store: ParamStore, fmap1: jax.Array, fmap2: jax.Array,
     overlapping pairs, see raft_forward_seq) reuses the exact same math.
     """
     pyramid = build_corr_pyramid(fmap1, fmap2, out_dtype=corr_dtype)
+    packed = pack_corr_pyramid(pyramid) if corr_lookup is corr_lookup_packed \
+        else None
     net = jnp.tanh(cnet[..., :HDIM])
     inp = jax.nn.relu(cnet[..., HDIM:])
 
@@ -309,7 +406,8 @@ def raft_refine(store: ParamStore, fmap1: jax.Array, fmap2: jax.Array,
     # (raft.py:24 flow_predictions list).
     def step(carry, _):
         net_c, coords1_c = carry
-        corr = corr_lookup(pyramid, coords1_c)
+        corr = (corr_lookup_packed(packed, coords1_c) if packed is not None
+                else corr_lookup(pyramid, coords1_c))
         flow = coords1_c - coords0
         motion = _motion_encoder(store, flow, corr)
         net_c = _sep_conv_gru(store, net_c,

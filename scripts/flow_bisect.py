@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--reps", type=int, default=5,
                     help="timed repetitions per measurement (median)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated substring filter on row names "
+                         "(e.g. 'packed'); empty = measure everything")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +49,8 @@ def main():
     from romp_tpu.models.raft import (
         CDIM, CORR_RADIUS, HDIM, _flow_head, _motion_encoder, _sep_conv_gru,
         build_corr_pyramid, corr_lookup, corr_lookup_onehot,
-        corr_lookup_rowgather, init_raft_params,
+        corr_lookup_packed, corr_lookup_rowgather, init_raft_params,
+        pack_corr_pyramid,
     )
 
     B = 8                      # pairs per clip
@@ -97,6 +101,10 @@ def main():
         return (outs[N_HI] - outs[N_LO]) / (N_HI - N_LO)
 
     rows = {"B": B, "H": H, "corr_dtype": str(pyramid[0].dtype)}
+    only = [s for s in args.only.split(",") if s]
+
+    def want(name):
+        return not only or any(s in name for s in only)
 
     # --- lookup formulations: carry coords, derive next coords from corr.
     # The fed-back signal MUST consume every output channel (mean over all
@@ -116,10 +124,31 @@ def main():
     pyramid_bf16 = jax.tree_util.tree_map(
         lambda a: a.block_until_ready(), pyramid_bf16)
 
-    rows["lookup_onehot_ms_iter"] = round(
-        marginal(lambda: lookup_body(corr_lookup_onehot, pyramid)), 2)
-    rows["lookup_rowgather_ms_iter"] = round(
-        marginal(lambda: lookup_body(corr_lookup_rowgather, pyramid)), 2)
+    if want("lookup_onehot"):
+        rows["lookup_onehot_ms_iter"] = round(
+            marginal(lambda: lookup_body(corr_lookup_onehot, pyramid)), 2)
+    if want("lookup_rowgather"):
+        rows["lookup_rowgather_ms_iter"] = round(
+            marginal(lambda: lookup_body(corr_lookup_rowgather, pyramid)), 2)
+
+    # packed variant: the pyramid is packed ONCE outside the scan (as
+    # raft_refine does); the body sees the (buffer, dims) pair.
+    def packed_lookup_body(pyr):
+        buf, dims = jax.jit(pack_corr_pyramid)(pyr)
+        buf = buf.block_until_ready()
+
+        def body(coords, ctx):
+            corr = corr_lookup_packed((ctx["buf"], dims), coords)
+            m = jnp.mean(corr.astype(jnp.float32), axis=-1, keepdims=True)
+            return coords + 1e-4 * jnp.concatenate([m, m], axis=-1)
+        return coords0, {"buf": buf}, body
+
+    if want("lookup_packed"):
+        rows["lookup_packed_ms_iter"] = round(
+            marginal(lambda: packed_lookup_body(pyramid)), 2)
+    if want("lookup_packed_bf16"):
+        rows["lookup_packed_bf16_ms_iter"] = round(
+            marginal(lambda: packed_lookup_body(pyramid_bf16)), 2)
 
     # --- update block: carry (net, coords); synth corr from net (shape-
     # and FLOP-faithful, keeps the data chain without a real lookup) ---
@@ -137,7 +166,8 @@ def main():
         return ((net0, coords0),
                 {"params": params, "coords0": coords0, "inp": inp}, body)
 
-    rows["update_block_ms_iter"] = round(marginal(update_make), 2)
+    if want("update_block"):
+        rows["update_block_ms_iter"] = round(marginal(update_make), 2)
 
     # --- full iteration (lookup + update), as raft_refine runs it ---
     def full_make(look, pyr):
@@ -158,12 +188,37 @@ def main():
     for name, look in (("onehot", corr_lookup_onehot),
                        ("rowgather", corr_lookup_rowgather)):
         for dt, pyr in (("f32", pyramid), ("bf16", pyramid_bf16)):
-            rows[f"full_{name}_{dt}_ms_iter"] = round(
-                marginal(lambda: full_make(look, pyr)), 2)
+            if want(f"full_{name}_{dt}"):
+                rows[f"full_{name}_{dt}_ms_iter"] = round(
+                    marginal(lambda: full_make(look, pyr)), 2)
+
+    def full_packed_make(pyr):
+        buf, dims = jax.jit(pack_corr_pyramid)(pyr)
+        buf = buf.block_until_ready()
+
+        def body(carry, ctx):
+            net_c, coords_c = carry
+            st = ParamStore(ctx["params"], compute_dtype=jnp.bfloat16)
+            corr = corr_lookup_packed((ctx["buf"], dims), coords_c)
+            flow = coords_c - ctx["coords0"]
+            motion = _motion_encoder(st, flow, corr)
+            net_c = _sep_conv_gru(st, net_c,
+                                  jnp.concatenate([ctx["inp"], motion], -1))
+            delta = _flow_head(st, net_c)
+            return net_c, coords_c + delta.astype(jnp.float32)
+        return ((net0, coords0),
+                {"params": params, "coords0": coords0, "inp": inp,
+                 "buf": buf}, body)
+
+    for dt, pyr in (("f32", pyramid), ("bf16", pyramid_bf16)):
+        if want(f"full_packed_{dt}"):
+            rows[f"full_packed_{dt}_ms_iter"] = round(
+                marginal(lambda: full_packed_make(pyr)), 2)
 
     # --- per-clip pieces (single calls; floor-dominated but bounded) ---
-    pyr_fn = jax.jit(lambda a, b: build_corr_pyramid(a, b)[0])
-    rows["build_pyramid_ms_call"] = round(med(pyr_fn, fmap1, fmap2), 2)
+    if want("build_pyramid"):
+        pyr_fn = jax.jit(lambda a, b: build_corr_pyramid(a, b)[0])
+        rows["build_pyramid_ms_call"] = round(med(pyr_fn, fmap1, fmap2), 2)
 
     print(json.dumps(rows, indent=1))
     if args.check:

@@ -146,6 +146,35 @@ def test_corr_lookup_rowgather_matches_onehot():
                                    else 1e-2)
 
 
+def test_corr_lookup_packed_matches_onehot():
+    """The packed formulation (levels concatenated along the contraction
+    axis, bilinear fractions folded into tent selection weights) computes
+    the same taps + blend as the one-hot form: same zero padding out of
+    range, same channel order. Tent weights change the fp summation order,
+    so f32 parity is to tolerance rather than exact."""
+    from romp_tpu.models.raft import (
+        build_corr_pyramid, corr_lookup_onehot, corr_lookup_packed,
+        pack_corr_pyramid,
+    )
+
+    rng = np.random.RandomState(1)
+    B, H, W = 2, 16, 16
+    f1 = jnp.asarray(rng.rand(B, H, W, 32).astype(np.float32))
+    f2 = jnp.asarray(rng.rand(B, H, W, 32).astype(np.float32))
+    coords = (rng.rand(B, H, W, 2).astype(np.float32) * 3.0 - 1.0) \
+        * np.asarray([W, H], np.float32)
+    # include exact-integer positions (scan init: coords1 == integer grid)
+    coords[0, :4] = np.round(coords[0, :4])
+
+    for dt, atol in ((jnp.float32, 1e-4), (jnp.bfloat16, 3e-2)):
+        pyr = build_corr_pyramid(f1, f2, out_dtype=dt)
+        packed = pack_corr_pyramid(pyr)
+        a = np.asarray(corr_lookup_onehot(pyr, jnp.asarray(coords)))
+        b = np.asarray(corr_lookup_packed(packed, jnp.asarray(coords)))
+        assert a.shape == b.shape == (B, H, W, 4 * 81)
+        np.testing.assert_allclose(b, a, atol=atol)
+
+
 def test_flow_seq_fn_matches_pairwise():
     """sequence=True (fnet shared over the T+1 unique frames) must produce
     the same flows as the pairwise fn on the shifted-pair inputs the
