@@ -56,29 +56,34 @@ def main():
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
-    # Headline = the bf16-activation fast path (bf16 MXU convs, bf16
-    # activations, folded BN): the TPU-idiomatic deployment config, with
-    # measured accuracy evidence ON TRAINED WEIGHTS AND ON THIS CHIP
-    # (CONVERGENCE.json bf16_on_trained_tpu, scripts/convergence.py
-    # --bf16_ckpt): 100% top-1 detection agreement with f32, 4.6 mm mean /
-    # 9.8 mm p95 vertex delta; the mixed (f32-act) path measured
-    # BIT-IDENTICAL to f32 on the TPU on the same checkpoint. Mixed stays
-    # the parity default in the CLIs and is reported alongside.
+    # Headline (`value`) = the MIXED path (bf16 MXU matmuls, f32
+    # activations): the CLI parity default, measured BIT-IDENTICAL to f32
+    # on this chip on a trained checkpoint (CONVERGENCE.json
+    # bf16_on_trained_tpu) — this is the number that satisfies the
+    # BASELINE "<1 mm vs reference" gate. The bf16-activation fast path
+    # (folded BN) rides alongside as a first-class field with ITS accuracy
+    # evidence: 100% top-1 detection agreement, ~4.6 mm mean / 9.8 mm p95
+    # vertex delta on trained weights (scripts/convergence.py --bf16_ckpt).
     t_mixed = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
                                  act_dtype="float32", calc_smpl=True))
     t_bf16a = measure(RompConfig(max_person=8, compute_dtype="bfloat16",
                                  act_dtype="bfloat16", calc_smpl=True))
 
-    imgs_per_sec = batch / t_bf16a
+    mixed_img_s = batch / t_mixed
+    bf16a_img_s = batch / t_bf16a
     print(json.dumps({
-        "metric": "images/sec/chip (ROMP HRNet-32 512^2, bf16 act+MXU "
-                  "[trained-weights parity evidence: CONVERGENCE.json], "
-                  "e2e incl. SMPL)",
-        "value": round(imgs_per_sec, 2),
+        "metric": "images/sec/chip (ROMP HRNet-32 512^2, e2e incl. SMPL; "
+                  "mixed bf16-MXU/f32-act path, bit-identical to f32 on "
+                  "chip: CONVERGENCE.json)",
+        "value": round(mixed_img_s, 2),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec / 500.0, 3),
-        "p50_batch_ms": round(t_bf16a * 1000.0, 2),
-        "mixed_f32act_img_s": round(batch / t_mixed, 2),
+        "vs_baseline": round(mixed_img_s / 500.0, 3),
+        "p50_batch_ms": round(t_mixed * 1000.0, 2),
+        "bf16_act_img_s": round(bf16a_img_s, 2),
+        "bf16_act_vs_baseline": round(bf16a_img_s / 500.0, 3),
+        "bf16_act_accuracy": "100% top-1 detection agreement, 4.6mm mean / "
+                             "9.8mm p95 vertex delta on trained weights "
+                             "(CONVERGENCE.json bf16_on_trained_tpu)",
         "batch": batch,
         "device": str(jax.devices()[0]),
     }))
