@@ -44,6 +44,9 @@ class BevConfig:
     # Run HRNet branch BasicBlock chains through the Pallas fused kernel
     # (ops/pallas_fuse.py) — inference-only, mixed-path numerics.
     fuse_chains: bool = False
+    # "hrnet32_tiny" = the reduced-depth variant (same structure); used by
+    # the convergence chain (scripts/convergence.py --model bev)
+    backbone: str = "hrnet32"
 
 
 def unpack_bev_params(params_pred: jax.Array) -> Dict[str, jax.Array]:
@@ -133,7 +136,8 @@ def bev_inference(params: Dict[str, jax.Array], smpl_adult: SmplModel,
     coord3d = jnp.asarray(
         coord_maps_3d_halfz(cfg.input_size // 4, anchors_np))
 
-    maps = bev_forward_maps(store, images, anchors, coord3d)
+    maps = bev_forward_maps(store, images, anchors, coord3d,
+                            backbone=cfg.backbone)
     det = parse_centermap3d(maps.center_maps_3d, cfg.max_person,
                             cfg.conf_thresh)
     params_pred = bev_regress_params(store, maps, det, anchors

@@ -59,6 +59,14 @@ class TraceConfig:
     # float16 halves the dominant host<-device transfer (~5 MB/clip of
     # verts); quantization is <0.5 mm at metre scale. float32 = exact.
     transfer_dtype: str = "float32"
+    # Run the whole per-clip frontend (backbone -> flow -> maps -> detect)
+    # as ONE jitted call instead of a call per stage + eager glue: each
+    # call costs a ~15 ms host dispatch on a remote-tunneled device and
+    # the stream is host-bound there. None = auto (on for TPU backends,
+    # off elsewhere: the fused graph doubles CPU test compile time for no
+    # dispatch win). Outputs are identical either way
+    # (tests/test_trace_pipeline.py fused-equivalence test).
+    fused_frontend: Optional[bool] = None
 
 
 def _sample3d(maps: jax.Array, zyx: jax.Array) -> jax.Array:
@@ -69,6 +77,16 @@ def _sample3d(maps: jax.Array, zyx: jax.Array) -> jax.Array:
     idx = jnp.clip(idx, 0, D * H * W - 1)
     return jnp.take_along_axis(
         flat, idx[..., None].astype(jnp.int32), axis=1, mode="clip")
+
+
+def _copy_to_host_async(arr) -> None:
+    """Kick off a device->host transfer without blocking; a later
+    np.asarray finds the data (partly) on host already. Best-effort: a
+    backend without the method just pays the transfer at fetch time."""
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
 
 
 def _store(params, cfg: TraceConfig) -> ParamStore:
@@ -97,7 +115,12 @@ def trace_maps_and_detect(params, feature_maps, flows, hidden,
     host pays a single fetch round trip instead of six (each fetch is a full
     network RTT on a remote-tunneled device).
     """
-    store = _store(params, cfg)
+    return _maps_and_detect_core(_store(params, cfg), feature_maps, flows,
+                                 hidden, cfg)
+
+
+def _maps_and_detect_core(store, feature_maps, flows, hidden,
+                          cfg: TraceConfig):
     maps, hidden = trace_forward_maps(
         store, feature_maps, flows, hidden,
         temp_clip_length=cfg.temp_clip_length)
@@ -106,7 +129,7 @@ def trace_maps_and_detect(params, feature_maps, flows, hidden,
     zyx = det.zyx.astype(jnp.int32)
     cams = _sample3d(maps.cam_maps_3d, zyx)          # (T, K, 3)
     motions = _sample3d(maps.motion_maps_3d, zyx)    # (T, K, 3)
-    yx_flat = zyx[..., 1] * OUTMAP + zyx[..., 2]
+    yx_flat = zyx[..., 1] * maps.mesh_feature_maps.shape[2] + zyx[..., 2]
     feats = sample_maps_at(maps.mesh_feature_maps, yx_flat)  # (T, K, 128)
     # initial normalized cams from the trans regressor in image mode
     init_cams = trace_regress_trans(
@@ -141,7 +164,8 @@ def trace_regress(params, traj_pack, cfg: TraceConfig, maps=None):
     params_pred = trace_regress_trajectory(store, traj_feats)
     normed_cams = trace_regress_trans(store, cams_init_traj, traj_feats)
     N, T = traj_yx.shape[:2]
-    yx_flat = (traj_yx[..., 0] * OUTMAP + traj_yx[..., 1]).T  # (T, N)
+    yx_flat = (traj_yx[..., 0] * maps.cam_motion_maps.shape[2]
+               + traj_yx[..., 1]).T                           # (T, N)
     cam_motion = sample_maps_at(maps.cam_motion_maps, yx_flat)  # (T, N, 3)
     cam_rot = sample_maps_at(maps.cam_rot_maps, yx_flat)        # (T, N, 6)
     f32 = lambda x: x.astype(jnp.float32)
@@ -216,6 +240,58 @@ def _trace_gather_traj(mesh_feature_maps, cam_maps_3d, czyxs):
         [feat.transpose(1, 0, 2), cams.transpose(1, 0, 2)], axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_frontends(cfg: TraceConfig, flow_fn):
+    """ONE jitted device call for the whole per-clip frontend
+    (backbone -> flow -> ConvGRU maps -> detect), replacing the
+    call-per-stage chain plus its eager concat/slice glue.
+
+    Why: on a remote-tunneled device every call — jitted stage or eager
+    concat — costs a ~15 ms host dispatch (measured round 4), and the
+    unfused path paid ~8 of them per clip (backbone, 2 feature concats,
+    flow-pair concat, flow, last-frame slice, maps, det slicing). The
+    pipelined stream's clip time is host-bound (zero-flow floor 884 ms vs
+    645 ms device chain, BENCH_ALL round 4), so host dispatches are the
+    binding cost, not device FLOPs. Two jit variants because the first
+    clip has no carried state (hidden=None warm-start graph, reference
+    `trace2/main.py:66-77`). Cached per (cfg, flow_fn) so every
+    TracePipeline instance shares the compiled executables.
+    """
+    takes_seq = getattr(flow_fn, "takes_sequence", False)
+
+    def _flows(frames_dev, prev_frame, feats_hw):
+        if flow_fn is None:
+            T = frames_dev.shape[0]
+            return jnp.zeros((T,) + feats_hw + (2,))
+        if takes_seq:
+            return flow_fn(jnp.concatenate([prev_frame, frames_dev], 0))
+        frames_prev = jnp.concatenate([prev_frame, frames_dev[:-1]], 0)
+        return flow_fn(frames_prev, frames_dev)
+
+    def _core(params, frames_dev, prev_frame, prev_feat, hidden):
+        store = _store(params, cfg)
+        x = (frames_dev.astype(jnp.float32) / 255.0) * 2.0 - 1.0
+        feats = hrnet_w32(store, x, prefix="backbone").astype(jnp.float32)
+        first = feats[:1] if prev_feat is None else prev_feat
+        feats_full = jnp.concatenate([first, feats], axis=0)
+        flows = _flows(frames_dev,
+                       frames_dev[:1] if prev_frame is None else prev_frame,
+                       feats.shape[1:3])
+        maps, hidden, det_pack = _maps_and_detect_core(
+            store, feats_full, flows, hidden, cfg)
+        return feats[-1:], frames_dev[-1:], hidden, maps, det_pack
+
+    @jax.jit
+    def frontend_first(params, frames_dev):
+        return _core(params, frames_dev, None, None, None)
+
+    @jax.jit
+    def frontend_rest(params, frames_dev, prev_frame, prev_feat, hidden):
+        return _core(params, frames_dev, prev_frame, prev_feat, hidden)
+
+    return frontend_first, frontend_rest
+
+
 class TracePipeline:
     """Stateful sequence processor (one per video / signal)."""
 
@@ -232,6 +308,10 @@ class TracePipeline:
         self.flow_fn = flow_fn
         self.profile = False           # fills stage_times per clip when True
         self.stage_times: Dict[str, float] = {}
+        if self.cfg.fused_frontend is None:
+            self._fused = any(d.platform == "tpu" for d in jax.devices())
+        else:
+            self._fused = bool(self.cfg.fused_frontend)
         self.reset()
 
     def _tick(self, name: str, t0: float, sync=None) -> float:
@@ -282,11 +362,43 @@ class TracePipeline:
         for one clip WITHOUT any host synchronization, and advance the
         cross-clip device state (GRU hidden, last frame/feature handles).
 
+        On TPU backends (or cfg.fused_frontend=True) the whole frontend
+        rides ONE jitted call: on a remote-tunneled device each call —
+        jitted or eager glue — costs a ~15 ms host dispatch, and the
+        stream's clip time is host-bound. Profile mode (per-stage timings)
+        keeps the unfused chain.
+
         Returns a handle dict for collect_clip. Because nothing here blocks,
         the caller can dispatch clip k+1 before collecting clip k: the
         device then computes the next clip's frontend while the host runs
         this clip's tracking/smoothing (see process_stream).
         """
+        if self.profile or not self._fused:
+            return self._dispatch_clip_profiled(frames)
+        T = int(frames.shape[0])
+        if isinstance(frames, jnp.ndarray):
+            frames_dev = frames
+        else:
+            frames_dev = self.prefetch(frames)
+        front_first, front_rest = _build_frontends(self.cfg, self.flow_fn)
+        if self.last_feature_map is None:
+            (self.last_feature_map, self.last_frame, self.hidden, maps,
+             det_pack) = front_first(self.params, frames_dev)
+        else:
+            (self.last_feature_map, self.last_frame, self.hidden, maps,
+             det_pack) = front_rest(
+                self.params, frames_dev, self.last_frame,
+                self.last_feature_map, self.hidden)
+        # start the (small) detection-pack transfer now so collect_clip's
+        # blocking fetch finds it already on host
+        _copy_to_host_async(det_pack)
+        return {"maps": maps, "det_pack": det_pack, "T": T}
+
+    def _dispatch_clip_profiled(self, frames) -> Dict:
+        """Unfused frontend: one call per stage (+ sync ticks in profile
+        mode so profile_trace.py can attribute time per stage). Same math
+        as the fused call; default off-TPU, where per-call dispatch is
+        cheap and the smaller graphs compile much faster."""
         import time as _time
 
         cfg = self.cfg
@@ -307,8 +419,8 @@ class TracePipeline:
             feats_full = jnp.concatenate([feats[:1], feats], axis=0)
         else:
             feats_full = jnp.concatenate(
-                [self.last_feature_map[None], feats], axis=0)
-        self.last_feature_map = feats[-1]
+                [self.last_feature_map, feats], axis=0)
+        self.last_feature_map = feats[-1:]
 
         if self.flow_fn is not None:
             prev = (self.last_frame if self.last_frame is not None
@@ -327,9 +439,10 @@ class TracePipeline:
         else:
             # cached across clips: an eager zeros() is a device round trip
             # per clip on a tunneled backend
+            hw = feats.shape[1:3]
             if getattr(self, "_zero_flows", None) is None \
-                    or self._zero_flows.shape[0] != T:
-                self._zero_flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
+                    or self._zero_flows.shape[:3] != (T,) + hw:
+                self._zero_flows = jnp.zeros((T,) + hw + (2,))
             flows = self._zero_flows
         self.last_frame = frames_dev[-1:]
 
@@ -384,25 +497,39 @@ class TracePipeline:
             if flows_cat is not None:
                 flows = flows_cat[offs[i]:offs[i + 1]]
             else:
+                hw = feats.shape[1:3]
                 if getattr(self, "_zero_flows", None) is None \
-                        or self._zero_flows.shape[0] != T:
-                    self._zero_flows = jnp.zeros((T, OUTMAP, OUTMAP, 2))
+                        or self._zero_flows.shape[:3] != (T,) + hw:
+                    self._zero_flows = jnp.zeros((T,) + hw + (2,))
                 flows = self._zero_flows
             if self.last_feature_map is None:
                 feats_full = jnp.concatenate([feats[:1], feats], axis=0)
             else:
                 feats_full = jnp.concatenate(
-                    [self.last_feature_map[None], feats], axis=0)
-            self.last_feature_map = feats[-1]
+                    [self.last_feature_map, feats], axis=0)
+            self.last_feature_map = feats[-1:]
             maps, self.hidden, det_pack = trace_maps_and_detect(
                 self.params, feats_full, flows, self.hidden, cfg)
+            _copy_to_host_async(det_pack)
             handles.append({"maps": maps, "det_pack": det_pack, "T": T})
         self._tick("maps_dispatch", t0)
         return handles
 
     def collect_clip(self, handles: Dict) -> Optional[Dict[str, np.ndarray]]:
         """Host backend for a dispatched clip: fetch detections, track,
-        regress trajectories, smooth, SMPL, fetch results."""
+        regress trajectories, smooth, SMPL, fetch results.
+
+        Equivalent to collect_clip_compute + finalize_clip back to back;
+        process_stream splits them so the big geometry fetch of clip k
+        rides the tunnel while clip k+1 computes."""
+        return self.finalize_clip(self.collect_clip_compute(handles))
+
+    def collect_clip_compute(self, handles: Dict) -> Optional[Dict]:
+        """All host tracking/smoothing + device dispatches for a clip, up to
+        (but not including) the final result fetch: ends by STARTING the
+        async device->host copy of the two packed result buffers. Returns a
+        pending handle for finalize_clip, or None when the clip has no
+        tracks (exactly collect_clip's None)."""
         import time as _time
 
         cfg = self.cfg
@@ -485,23 +612,49 @@ class TracePipeline:
             jnp.asarray(smpl_pack),
             (self.smpl_adult, self.smpl_baby), cfg.input_size,
             cfg.transfer_dtype)
-        # fetch only the live N*T rows (padding is trailing, N-major) —
-        # TWO packed fetches total for all seven result tensors
+        # slice the live N*T rows (padding is trailing, N-major) and start
+        # the async device->host copies NOW; finalize_clip collects them
+        # (on the pipelined stream: a clip later, so the dominant geometry
+        # transfer — N*T rows of verts+joints+pj2d, megabytes on a tunneled
+        # device — overlaps the next clip's compute)
         nt = N * T_
-        p32 = np.asarray(pack_f32[:nt])                # (nt, 89)
-        geom = np.asarray(pack_geom[:nt], np.float32)  # (nt, 3V+3J+2J)
+        pack_f32 = pack_f32[:nt]
+        pack_geom = pack_geom[:nt]
+        _copy_to_host_async(pack_f32)
+        _copy_to_host_async(pack_geom)
+        self._tick("smpl_dispatch", t0)
+
+        return {
+            "pack_f32": pack_f32, "pack_geom": pack_geom,
+            "traj": traj, "world_cams": world_cams,
+            "normed_cams": normed_cams[:N], "N": N, "T": T_,
+        }
+
+    def finalize_clip(self, pending: Optional[Dict]) \
+            -> Optional[Dict[str, np.ndarray]]:
+        """Blocking tail of collect_clip: fetch the two packed result
+        buffers and assemble the per-clip output dict. Stateless — safe to
+        run any number of clips behind collect_clip_compute."""
+        import time as _time
+
+        if pending is None:
+            return None
+        t0 = _time.perf_counter()
+        traj = pending["traj"]
+        N, T = pending["N"], pending["T"]
+        nt = N * T
+        p32 = np.asarray(pending["pack_f32"])                # (nt, 89)
+        geom = np.asarray(pending["pack_geom"], np.float32)  # (nt, 3V+3J+2J)
         v3, j3 = self._geom_split()
-        normed_cams = normed_cams[:N]
-        t0 = self._tick("smpl_project", t0)
 
         out = {
             "track_ids": np.repeat(traj.track_ids, T),
             "frame_ids": np.tile(np.arange(T), N),
             "frame_valid": traj.frame_valid.reshape(-1),
             "czyxs": traj.czyxs.reshape(N * T, 3),
-            "cam": normed_cams.reshape(N * T, 3),
+            "cam": pending["normed_cams"].reshape(N * T, 3),
             "cam_trans": p32[:, 83:86],
-            "world_cams": world_cams.reshape(N * T, 3),
+            "world_cams": pending["world_cams"].reshape(N * T, 3),
             "world_grots": p32[:, 86:89],
             "smpl_thetas": p32[:, :72],
             "smpl_betas": p32[:, 72:83],
@@ -532,12 +685,16 @@ class TracePipeline:
 
         The cross-clip recurrences (GRU hidden, tracker, memory5D) stay
         exact: dispatch only consumes device-side state already produced
-        by the previous dispatch, and collect_clip consumes host state in
-        clip order. Yields one result dict (or None) per clip, in order.
+        by the previous dispatch, and collect_clip_compute consumes host
+        state in clip order; the stateless result fetch (finalize_clip)
+        lags ONE further clip so the dominant device->host geometry
+        transfer rides the tunnel while the next clip computes. Yields one
+        result dict (or None) per clip, in order.
         """
         from collections import deque
 
         inflight: deque = deque()
+        pending: deque = deque()
         group: List = []
         depth = max(depth, frontend_batch)
         for clip in clips:
@@ -546,8 +703,15 @@ class TracePipeline:
                 inflight.extend(self.dispatch_clips(group))
                 group = []
             while len(inflight) > depth:
-                yield self.collect_clip(inflight.popleft())
+                pending.append(
+                    self.collect_clip_compute(inflight.popleft()))
+                if len(pending) > 1:
+                    yield self.finalize_clip(pending.popleft())
         if group:
             inflight.extend(self.dispatch_clips(group))
         while inflight:
-            yield self.collect_clip(inflight.popleft())
+            pending.append(self.collect_clip_compute(inflight.popleft()))
+            if len(pending) > 1:
+                yield self.finalize_clip(pending.popleft())
+        while pending:
+            yield self.finalize_clip(pending.popleft())

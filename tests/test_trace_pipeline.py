@@ -266,3 +266,63 @@ def test_dispatch_sequence_flow_convention(monkeypatch):
         for k in r:
             np.testing.assert_array_equal(
                 np.asarray(r[k]), np.asarray(g[k]), err_msg=k)
+
+
+@pytest.mark.slow
+def test_fused_frontend_matches_unfused(monkeypatch):
+    """cfg.fused_frontend=True (the TPU default: whole frontend in ONE
+    jitted call) must produce outputs bit-identical to the per-stage
+    path, across clips (carried hidden/feature/frame state included)."""
+    import romp_tpu.pipeline.trace_pipeline as tp
+    from romp_tpu.models.trace import init_trace_params
+    from romp_tpu.pipeline.trace_pipeline import TraceConfig, TracePipeline
+    from romp_tpu.pipeline.trace_tracking import SeqConfig as SC
+    from romp_tpu.smpl.assets import synthetic_assets
+    from romp_tpu.smpl.body_model import SmplModel
+
+    def fake_backbone(store, x, prefix="backbone"):
+        y = jax.image.resize(x, (x.shape[0], 128, 128, 3), "bilinear")
+        return jnp.tile(y, (1, 1, 1, 11))[..., :32]
+
+    monkeypatch.setattr(tp, "hrnet_w32", fake_backbone)
+    monkeypatch.setattr(
+        tp, "trace_extract_features",
+        jax.jit(lambda p, f, u, c: fake_backbone(
+            None, (f.astype(jnp.float32) / 255.0) * 2.0 - 1.0),
+            static_argnums=(3,)))
+
+    params = init_trace_params(jax.random.PRNGKey(0), clip_length=2)
+    adult = SmplModel.from_assets(synthetic_assets(seed=0, num_betas=11))
+    baby = SmplModel.from_assets(synthetic_assets(seed=1, num_betas=10))
+    kw = dict(large_object_thresh=-1e9, first_frame_det_thresh=-1e9,
+              tracker_det_thresh=-1e9, tracker_match_thresh=1e9)
+    rng = np.random.RandomState(5)
+    f1 = rng.rand(2, 512, 512, 3).astype(np.float32) * 255.0
+    f2 = rng.rand(2, 512, 512, 3).astype(np.float32) * 255.0
+
+    cfg_a = TraceConfig(temp_clip_length=2, max_person=4, conf_thresh=-1e9,
+                        fused_frontend=False)
+    pa = TracePipeline(params, adult, baby, cfg_a, SC(**kw))
+    assert pa._fused is False
+    ref = [pa.process_clip(f1), pa.process_clip(f2)]
+
+    cfg_b = TraceConfig(temp_clip_length=2, max_person=4, conf_thresh=-1e9,
+                        fused_frontend=True)
+    pb = TracePipeline(params, adult, baby, cfg_b, SC(**kw))
+    assert pb._fused is True
+    got = [pb.process_clip(f1), pb.process_clip(f2)]
+
+    for r, g in zip(ref, got):
+        assert r is not None and g is not None
+        for k in r:
+            np.testing.assert_array_equal(
+                np.asarray(r[k]), np.asarray(g[k]), err_msg=k)
+
+    # stream mode on the fused path: same results, one-clip-late finalize
+    pc = TracePipeline(params, adult, baby, cfg_b, SC(**kw))
+    souts = list(pc.process_stream([f1, f2]))
+    for r, g in zip(ref, souts):
+        assert g is not None
+        for k in r:
+            np.testing.assert_array_equal(
+                np.asarray(r[k]), np.asarray(g[k]), err_msg=k)
