@@ -98,22 +98,36 @@ def _conv_pass(src, dst, wmat, scale, shift, H, W, C, HC, residual):
 
 def _chain_kernel(x_ref, w_ref, sc_ref, sh_ref, out_ref,
                   xa, xb, *, blocks, H, W, C, HC):
-    b = pl.program_id(0)
+    """ONE BasicBlock (two conv passes) per grid step; the block index is
+    the innermost grid dimension, so the VMEM scratches chain state across
+    a batch element's blocks (TPU grids execute sequentially).
 
-    @pl.when(b == 0)
+    Round-5 finding: the python-unrolled all-blocks body produced a 172 KB
+    Mosaic module for the C=32 branch (4 row chunks x 8 conv passes) and
+    the remote compile helper SIGKILLs modules that large, while the same
+    kernel at 1 chunk (C=128/256 branches) compiled fine. Gridding over
+    blocks shrinks the body 4x; the weights BlockSpec streams block n's
+    (2, 3C, 3C) slice per step.
+    """
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
     def _():
+        # zero borders (SAME padding) + load this batch element's map
         xa[:] = jnp.zeros_like(xa)
         xb[:] = jnp.zeros_like(xb)
+        xa[1:H + 1, 1:W + 1, :] = x_ref[0]
 
-    xa[1:H + 1, 1:W + 1, :] = x_ref[0]
-    for n in range(blocks):
-        _conv_pass(xa, xb, w_ref[n, 0], sc_ref[n, 0], sh_ref[n, 0],
-                   H, W, C, HC, residual=None)
-        # second conv: BN + residual(block input, still in xa) + ReLU,
-        # written back into xa in place (read-before-write per chunk).
-        _conv_pass(xb, xa, w_ref[n, 1], sc_ref[n, 1], sh_ref[n, 1],
-                   H, W, C, HC, residual=xa)
-    out_ref[0] = xa[1:H + 1, 1:W + 1, :]
+    _conv_pass(xa, xb, w_ref[0, 0], sc_ref[0, 0], sh_ref[0, 0],
+               H, W, C, HC, residual=None)
+    # second conv: BN + residual(block input, still in xa) + ReLU,
+    # written back into xa in place (read-before-write per chunk).
+    _conv_pass(xb, xa, w_ref[0, 1], sc_ref[0, 1], sh_ref[0, 1],
+               H, W, C, HC, residual=xa)
+
+    @pl.when(n == blocks - 1)
+    def _():
+        out_ref[0] = xa[1:H + 1, 1:W + 1, :]
 
 
 @functools.partial(jax.jit, static_argnames=("blocks", "interpret"))
@@ -134,15 +148,18 @@ def fused_basic_chain(x: jax.Array, w: jax.Array, scale: jax.Array,
                                C=C, HC=HC)
     yf = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, blocks),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, W, C), lambda b, n: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # packed weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 3 * C, 3 * C), lambda b, n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),    # block n's weights
+            pl.BlockSpec((1, 2, C), lambda b, n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, C), lambda b, n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b, n: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         scratch_shapes=[
