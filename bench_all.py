@@ -63,7 +63,7 @@ def main():
                          "(default: all)")
     args = ap.parse_args()
     only = {s.strip() for s in args.only.split(",") if s.strip()}
-    known = {"romp", "bev", "trace", "train"}
+    known = {"romp", "bev", "trace", "train", "crowd"}
     unknown = only - known
     if unknown:
         raise SystemExit(f"unknown --only section(s) {sorted(unknown)}; "
@@ -214,6 +214,80 @@ def main():
                             "img_s": round(8 / t, 1),
                             "p50_clip_ms": round(t * 1e3, 1),
                             "note": note})
+            print(json.dumps(results[-1]), flush=True)
+
+    # ---- crowd / long-image mode: batched windows vs per-window calls ----
+    if want("crowd"):
+        import types
+
+        from romp_tpu.models.bev import init_bev_params
+        from romp_tpu.pipeline.bev_pipeline import BevConfig, BevPipeline
+        from romp_tpu.pipeline.crowd import process_long_image
+
+        cparams = init_bev_params(jax.random.PRNGKey(0))
+        cadult = SmplModel.from_assets(synthetic_assets(seed=0,
+                                                        num_betas=11))
+        cbaby = SmplModel.from_assets(synthetic_assets(seed=1,
+                                                       num_betas=10))
+        ccfg = BevConfig(max_person=8, conf_thresh=-1e9,
+                         compute_dtype="bfloat16", act_dtype="float32",
+                         transfer_dtype="float16")
+        pipe = BevPipeline(cparams, cadult, cbaby, ccfg)
+        settings = types.SimpleNamespace(
+            overlap_ratio=0.46, nms_thresh=16.0,
+            relative_scale_thresh=3.0, input_size=512)
+        pano = (np.random.RandomState(0).rand(512, 1536, 3)
+                * 255).astype(np.uint8)
+
+        class _SeqPipe:
+            """The reference's serial per-crop loop
+            (`simple_romp/bev/main.py:184-258`): one device call per
+            window at batch 1, same merge math afterwards."""
+
+            def __init__(self, inner):
+                self.inner = inner
+
+            def __call__(self, batch):
+                outs = [self.inner(batch[i:i + 1])
+                        for i in range(batch.shape[0])]
+                return {k: jnp.concatenate([o[k] for o in outs])
+                        for k in outs[0]}
+
+        from romp_tpu.pipeline.crowd import (
+            get_image_split_plan, padding_image_overlap,
+        )
+
+        pimg, _, _ = padding_image_overlap(pano, 0.46)
+        n_windows = len(get_image_split_plan(pimg, 0.46))
+        variants = (("crowd_pano_batched", pipe),
+                    ("crowd_pano_sequential", _SeqPipe(pipe)))
+        # INTERLEAVED A/B: the remote tunnel's bandwidth/RTT drifts on the
+        # minute scale (measured 2x between adjacent serve_bench levels),
+        # so timing the two variants in separate blocks attributes tunnel
+        # weather to the code. Alternate iterations instead.
+        times = {name: [] for name, _ in variants}
+        for name, p in variants:          # compile both first
+            process_long_image(p, pano, settings)
+        for _ in range(8):
+            for name, p in variants:
+                t0 = time.perf_counter()
+                process_long_image(p, pano, settings)
+                times[name].append(time.perf_counter() - t0)
+        for name, p in variants:
+            t = float(np.median(times[name]))
+            results.append({
+                "model": name, "batch": n_windows,
+                "img_s": round(n_windows / t, 1),
+                "p50_pano_ms": round(t * 1e3, 1),
+                "note": ("512x1536 panorama, %d sliding 512^2 windows, "
+                         "interleaved A/B; %s; full crowd merge (boundary "
+                         "exclusion, cam remap, global pruning) included"
+                         % (n_windows,
+                            "ONE device call for all windows "
+                            "(pipeline/crowd.py)" if p is pipe else
+                            "per-window serial dispatch (reference "
+                            "bev/main.py:184-258 shape)")),
+            })
             print(json.dumps(results[-1]), flush=True)
 
     # ---- ROMP training step (per-stage remat, bf16 activations) ----

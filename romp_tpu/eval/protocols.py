@@ -421,6 +421,11 @@ def compute_prf1(count: int, miss: int, fp: int
     if count == 0:
         return 0.0, 0.0, 0.0
     tp = count - miss
+    # zero-denominator guard (tp can reach 0 when every GT is missed, e.g.
+    # an early-training checkpoint in scripts/convergence.py; the reference
+    # never evaluates such checkpoints so its formula divides unprotected)
+    if tp + fp == 0 or tp + miss == 0 or tp + 0.5 * (fp + miss) == 0:
+        return 0.0, 0.0, 0.0
     f1 = round(tp / (tp + 0.5 * (fp + miss)), 2)
     return round(tp / (tp + fp), 2), round(tp / (tp + miss), 2), f1
 

@@ -21,7 +21,9 @@ from romp_tpu.models.bev import (
 )
 from romp_tpu.models.layers import ParamStore
 from romp_tpu.ops.centermap import parse_centermap3d
-from romp_tpu.ops.projection import perspective_projection
+from romp_tpu.ops.projection import (
+    FOCAL_LENGTH_BEV, perspective_projection,
+)
 from romp_tpu.ops.rotations import rot6d_to_axis_angle
 from romp_tpu.smpl.body_model import SmplModel, smpla_forward
 
@@ -160,8 +162,14 @@ def bev_inference(params: Dict[str, jax.Array], smpl_adult: SmplModel,
         smpl_adult, smpl_baby, flat(out["smpl_betas"]),
         flat(out["smpl_thetas"]), root_align=True)
     trans = flat(out["cam_trans"])
-    pj2d = perspective_projection(joints, trans, img_size=cfg.input_size)
-    verts_camed = perspective_projection(verts, trans,
+    # focal scales with input size: FOCAL_LENGTH_BEV is the 512-calibrated
+    # value (tan(FOV/2)*443/(512/2) ~= 1, bev/post_parser.py), so at other
+    # input sizes the normalized projection must keep that calibration —
+    # identity at 512 (reference parity), size-invariant elsewhere
+    _f = FOCAL_LENGTH_BEV * cfg.input_size / 512.0
+    pj2d = perspective_projection(joints, trans, focal_length=_f,
+                                  img_size=cfg.input_size)
+    verts_camed = perspective_projection(verts, trans, focal_length=_f,
                                          img_size=cfg.input_size)
     verts_camed = jnp.concatenate([verts_camed, verts[..., 2:3]], -1)
 

@@ -3,6 +3,11 @@
 Parity: `simple_romp/bev/split2process.py` + `bev/main.py:184-258`
 (process_long_image). TPU-shaped difference: all square crops are BATCHED
 into ONE device call instead of the reference's per-crop serial loop.
+Measured round 5 (bench_all --only crowd, interleaved A/B on the tunneled
+chip): batched 875 ms vs per-window 827 ms per 7-window panorama — through
+a remote tunnel the transfer dominates and async dispatch already
+pipelines batch-1 calls, so the one-call formulation is parity there; its
+dispatch saving (~15 ms x windows) matters on a co-located deployment.
 
 Host-side merge steps (dynamic person counts after masking):
 - boundary-subject exclusion in overlap regions (cam-x thresholds)

@@ -23,7 +23,9 @@ from romp_tpu.models.bev import (
 )
 from romp_tpu.models.layers import ParamStore
 from romp_tpu.ops.centermap import CenterDetections3D, sample_maps_at
-from romp_tpu.ops.projection import perspective_projection
+from romp_tpu.ops.projection import (
+    FOCAL_LENGTH_BEV, perspective_projection,
+)
 from romp_tpu.pipeline.bev_pipeline import bev_cam_to_trans, unpack_bev_params
 from romp_tpu.smpl.body_model import SmplModel, smpla_forward
 from romp_tpu.train import losses
@@ -39,6 +41,14 @@ class BevTrainConfig(NamedTuple):
     centermap3d_weight: float = 1.0
     rdepth_weight: float = 10.0
     rage_weight: float = 2.0
+    # direct supervision of the sampled (scale, y, x) cams at GT centers
+    # (the reference's Cam loss on match_params GT cams,
+    # `romp/lib/loss_funcs/calc_loss.py`). BEV needs it more than ROMP:
+    # the perspective depth 1/(s*tan+eps) is singular at s->0, so without
+    # a well-scaled anchor on s the kp2d/depth gradients blow the cam maps
+    # up instead of guiding them (measured: cam scale drifting to -94 over
+    # 600 synthetic-convergence steps with this loss absent).
+    cam_weight: float = 100.0
     input_size: int = 512
     backbone: str = "hrnet32"
 
@@ -90,8 +100,10 @@ def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
                                   flat(out["smpl_betas"]),
                                   flat(out["smpl_thetas"]))
     cam_trans = bev_cam_to_trans(flat(out["cam"]))
-    pj2d = perspective_projection(joints, cam_trans,
-                                  img_size=cfg.input_size)
+    pj2d = perspective_projection(
+        joints, cam_trans,
+        focal_length=FOCAL_LENGTH_BEV * cfg.input_size / 512.0,
+        img_size=cfg.input_size)   # 512-calibrated focal, size-invariant
 
     kp3d_w = w * flat(batch["kp3d_mask"]).astype(jnp.float32)
     pose_w = w * flat(batch["pose_mask"]).astype(jnp.float32)
@@ -114,6 +126,13 @@ def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
             flat(batch["betas_gt"])[:, :10],
             flat(out["smpl_betas"])[:, :10], w,
             flat(batch["betas_mask"]).astype(jnp.float32)),
+        "cam": cfg.cam_weight * (jnp.sum(
+            jnp.sum((out["cam"] - jnp.stack(
+                [batch["person_scales"],
+                 batch["person_centers"][..., 1],
+                 batch["person_centers"][..., 0]], -1)) ** 2, -1)
+            * mask.astype(jnp.float32))
+            / jnp.maximum(jnp.sum(mask), 1)),
         "rdepth": cfg.rdepth_weight * relative_depth_loss(
             cam_trans.reshape(B, P, 3)[..., 2], batch["depth_ids"], mask),
         "rage": cfg.rage_weight * (
