@@ -99,7 +99,20 @@ def bev_compute_losses(trainable, bn_state, batch, smpl_adult: SmplModel,
     verts, joints = smpla_forward(smpl_adult, smpl_baby,
                                   flat(out["smpl_betas"]),
                                   flat(out["smpl_thetas"]))
-    cam_trans = bev_cam_to_trans(flat(out["cam"]))
+    # TRAINING-SAFE depth: 1/(s*tan+eps) has a pole at s -> -eps/tan whose
+    # infinite gradient the rdepth hinge happily rides — measured on the
+    # synthetic convergence runs: scales dragged to -1.3 and pinned there
+    # (the pj2d path's max(z, 1e-6) then zeroes ITS gradient, so nothing
+    # pulls back). Fencing the denominator at 0.05 kills the pole's pull
+    # (zero subgradient below the floor) so the Cam L2 governs recovery.
+    # Inference (bev_cam_to_trans) keeps the reference formula exactly.
+    from romp_tpu.pipeline.bev_pipeline import TAN_FOV_HALF
+    camf = flat(out["cam"])
+    denom = jnp.maximum(camf[..., 0] * TAN_FOV_HALF + 1e-3, 0.05)
+    depth = (1.0 / denom)[..., None]
+    cam_trans = jnp.concatenate(
+        [jnp.stack([camf[..., 2], camf[..., 1]], -1) * depth * TAN_FOV_HALF,
+         depth], axis=-1)
     pj2d = perspective_projection(
         joints, cam_trans,
         focal_length=FOCAL_LENGTH_BEV * cfg.input_size / 512.0,

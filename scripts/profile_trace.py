@@ -5,9 +5,12 @@ Prints per-stage median milliseconds per clip (TracePipeline.profile hooks).
 """
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():
