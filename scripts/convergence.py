@@ -901,7 +901,7 @@ def main(argv=None):
     if osp.exists(out_path):
         with open(out_path) as f:
             payload = json.load(f)   # keep bev/trace/bf16_on_trained_* keys
-    payload.update({
+    section = {
         "protocol": "3DPW-challenge driver (eval/protocols.py) on held-out "
                     "synthetic blob-rendered scenes",
         "backbone": args.backbone, "input_size": args.input_size,
@@ -910,7 +910,13 @@ def main(argv=None):
         "warmup_steps": args.warmup,
         "bf16_on_trained": bf16_report,
         **rows,
-    })
+    }
+    if args.input_size == INPUT_SIZE:
+        payload.update(section)      # the headline (monotone) recipe
+    else:
+        # non-default resolutions (e.g. the full-scale 512 + hrnet32 run)
+        # live under their own key so they never clobber the headline curve
+        payload[f"full_scale_{args.input_size}"] = section
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {out_path}", flush=True)
