@@ -81,9 +81,11 @@ def main():
         "p50_batch_ms": round(t_mixed * 1000.0, 2),
         "bf16_act_img_s": round(bf16a_img_s, 2),
         "bf16_act_vs_baseline": round(bf16a_img_s / 500.0, 3),
-        "bf16_act_accuracy": "100% top-1 detection agreement, 4.6mm mean / "
-                             "9.8mm p95 vertex delta on trained weights "
-                             "(CONVERGENCE.json bf16_on_trained_tpu)",
+        "bf16_act_accuracy": "100% top-1 detection agreement, 6.3mm mean / "
+                             "19.1mm p95 vertex delta on FULL-SCALE "
+                             "(512^2 HRNet-W32) trained weights on this "
+                             "chip; mixed is bit-identical there "
+                             "(CONVERGENCE.json full_scale_512)",
         "batch": batch,
         "device": str(jax.devices()[0]),
     }))
